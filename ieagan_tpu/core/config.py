@@ -1,0 +1,190 @@
+"""Configuration surface.
+
+Preserves the reference's full 129-key config surface (reference:
+``config.json:1-131`` merged with CLI flags in ``train.py:262-786``) plus a
+small number of TPU-native extensions, all defaulted so that a reference
+config.json loads unchanged.
+
+Merge semantics mirror the reference (``train.py:779-786``): JSON file first,
+then explicit CLI overrides on top.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+from typing import Any, Mapping
+
+# The reference defaults (reference: config.json:1-131). Keys and values are
+# the public config API of the framework and must stay in sync with the
+# reference so a user can switch with their existing config files.
+DEFAULT_CONFIG: dict[str, Any] = {
+    "num_workers": 8,
+    "seed": 3651,
+    "pin_memory": False,
+    "shuffle": True,
+    "augment": 0,
+    "use_multiepoch_sampler": False,
+    "debug": False,
+    "model": "IEAGAN",
+    "G_ch": 32,
+    "G_param": "SN",
+    "D_param": "SN",
+    "D_ch": 32,
+    "G_depth": 2,
+    "D_depth": 2,
+    "H_base": 3,
+    "D_wide": True,
+    "G_shared": True,
+    "shared_dim": 128,
+    "dim_z": 128,
+    "z_var": 1.0,
+    "hier": True,
+    "cross_replica": False,
+    "mybn": False,
+    "G_activation": "inplace_relu",
+    "D_activation": "inplace_relu",
+    "G_attn": "0",
+    "D_attn": "32",
+    "norm_style": "bn",
+    "G_init": "ortho",
+    "D_init": "ortho",
+    "skip_init": False,
+    "G_lr": 5e-05,
+    "D_lr": 5e-05,
+    "G_B1": 0.0,
+    "D_B1": 0.0,
+    "G_B2": 0.999,
+    "D_B2": 0.999,
+    "batch_size": 40,
+    "G_batch_size": 0,
+    "num_G_accumulations": 1,
+    "num_D_steps": 1,
+    "num_D_accumulations": 1,
+    "split_D": True,
+    "num_epochs": 4,
+    "parallel": False,
+    "G_fp16": False,
+    "D_fp16": False,
+    "D_mixed_precision": False,
+    "G_mixed_precision": False,
+    "accumulate_stats": False,
+    "num_standing_accumulations": 16,
+    "G_eval_mode": True,
+    "save_every": 1000,
+    "test_every": 1000,
+    "num_save_copies": 2,
+    "num_best_copies": 2,
+    "ema": True,
+    "ema_decay": 0.9999,
+    "use_ema": True,
+    "ema_start": 10000,
+    "adam_eps": 1e-06,
+    "BN_eps": 1e-05,
+    "SN_eps": 1e-06,
+    "num_G_SVs": 1,
+    "num_D_SVs": 1,
+    "num_G_SV_itrs": 1,
+    "num_D_SV_itrs": 1,
+    "G_ortho": 0.0001,
+    "D_ortho": 0.0,
+    "toggle_grads": True,
+    "logstyle": "%3.3e",
+    "sv_log_interval": 10,
+    "log_interval": 100,
+    "resolution": 256,
+    "n_classes": 40,
+    "run_name": "BGd_2718",
+    "resume": False,
+    "latent_op": False,
+    "latent_reg_weight": 300,
+    "bottom_width": 4,
+    "add_blur": False,
+    "add_noise": True,
+    "add_style": False,
+    "conditional_strategy": "Contra",
+    "hypersphere_dim": 1024,
+    "pos_collected_numerator": False,
+    "nonlinear_embed": False,
+    "normalize_embed": True,
+    "inv_stereographic": False,
+    "contra_lambda": 1.0,
+    "Angle": False,
+    "angle_lambda": 1.0,
+    "IEA_loss": True,
+    "IEA_lambda": 1.0,
+    "Uniformity_loss": True,
+    "unif_lambda": 0.1,
+    "diff_aug": True,
+    "Con_reg": False,
+    "cr_lambda": 10,
+    "pixel_reg": False,
+    "px_lambda": 1.0,
+    "RRM_prx_G": True,
+    "normalized_proxy_G": False,
+    "RRM_prx_D": False,
+    "RRM_embed": True,
+    "n_head_G": 2,
+    "n_head": 4,
+    "rdof_dim": 4,
+    "prior_embed": False,
+    "attn_type": "sa",
+    "sched_version": "default",
+    "z_dist": "normal",
+    "truncated_threshold": 1.0,
+    "clip_norm": None,
+    "amsgrad": False,
+    "G_kernel_size": 3,
+    "D_kernel_size": 3,
+    "ada_belief": False,
+    "pbar": "tqdm",
+    "which_best": "FID",
+    "stop_after": 100000,
+    "trunc_z": 0.5,
+    "denoise": False,
+    "metric_log_name": "metric_log.jsonl",
+    "reinitialize_metric_logs": False,
+    "reinitialize_parameter_logs": False,
+    "num_incep_images": 16000,
+    "load_optim": True,
+    # --- TPU-native extensions (defaults preserve reference behavior) ---
+    # Number of events per global batch. The reference trains one event (=40
+    # images) per step; >1 events is the TPU data-parallel axis.
+    "events_per_batch": 1,
+    # Mesh shape for pjit: {"data": N} or {"data": N, "model": M}.
+    "mesh": None,
+    # Compute dtype: "bfloat16" (TPU-native default for parity-at-speed) or
+    # "float32". Parameters and optimizer state are always float32.
+    "compute_dtype": "bfloat16",
+    # Use Pallas fused-attention kernels on TPU (falls back to XLA on CPU).
+    "use_pallas_attention": True,
+    # Reference quirk §2.4.1: G.optim.step() was gated on clip_norm; we step
+    # G unconditionally. Set True to reproduce the reference bug exactly.
+    "replicate_G_step_bug": False,
+}
+
+
+def load_config(path: str | None = None, overrides: Mapping[str, Any] | None = None) -> dict:
+    """Load config: defaults <- JSON file <- explicit overrides.
+
+    Mirrors the reference's ``json.load`` + ``dict.update(vars(args))``
+    (reference: train.py:779-786) but is tolerant of unknown keys (the
+    reference swallows extras through ``**kwargs``; we keep them in the dict).
+    """
+    config = copy.deepcopy(DEFAULT_CONFIG)
+    if path is not None:
+        with open(path, "r", encoding="utf-8") as fp:
+            config.update(json.load(fp))
+    if overrides:
+        config.update({k: v for k, v in overrides.items() if v is not None})
+    return config
+
+
+def event_size(config: Mapping[str, Any]) -> int:
+    """The intra-event axis length (number of sensors = classes).
+
+    The reference hardcodes 40 in several paths (reference: model.py:466,
+    ieagan.py:1312, mycleanfid/fid.py:673, utils/dataloader.py:53); here
+    everything derives from ``n_classes`` (quirk fix, SURVEY.md §2.4.4).
+    """
+    return int(config["n_classes"])

@@ -1,0 +1,82 @@
+"""Standalone generator-only inference module — the basf2 deployment twin.
+
+Equivalent of the reference's frozen ``ieagan.py`` (reference:
+ieagan.py:24-152 frozen CONFIG, 1334-1340 Model, 1343-1366 generate): a
+self-contained generator with a frozen flagship config and the exact
+postprocess contract — 40 latents -> (40, 250, 768) ADU images with the
+-0.26 amplitude threshold ("cut the noise below 7 ADU").
+
+The forward + postprocess is one jitted XLA program; nothing leaves the
+device until the final (event_size, 250, 768) array.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ieagan_tpu.core.config import DEFAULT_CONFIG
+from ieagan_tpu.models.generator import Generator
+from ieagan_tpu.ops.image_norm import generate_postprocess
+
+# Frozen deployment configuration (reference: ieagan.py:24-152 — the training
+# config with prior_embed off and inference-only paths).
+FROZEN_CONFIG = dict(DEFAULT_CONFIG)
+
+
+class Model:
+    """Generator + parameters, ready to generate events.
+
+    ``Model(config)`` builds a randomly initialized generator (reference
+    parity: model.Model, model.py:1124-1127); ``Model.restore(path)`` loads
+    checkpointed parameters.
+    """
+
+    def __init__(self, config: dict | None = None, params=None, state=None,
+                 seed: int = 0, dtype: Any = jnp.float32):
+        self.config = dict(FROZEN_CONFIG)
+        if config:
+            self.config.update(config)
+        self.module = Generator.from_config(self.config, dtype=dtype)
+        self.event_size = int(self.config["n_classes"])
+        if params is None:
+            z = jnp.zeros((self.event_size, self.config["dim_z"]), jnp.float32)
+            y = jnp.arange(self.event_size, dtype=jnp.int32)
+            variables = self.module.init(
+                {"params": jax.random.PRNGKey(seed),
+                 "rdof": jax.random.PRNGKey(seed + 1)}, z, y, train=False)
+            params = variables["params"]
+            state = {k: v for k, v in variables.items() if k != "params"}
+        self.params = params
+        self.state = state if state is not None else {}
+
+    @functools.cached_property
+    def _generate_fn(self):
+        module, state_cols = self.module, self.state
+
+        @jax.jit
+        def fn(params, state, z, y, rng):
+            imgs = module.apply({"params": params, **state}, z, y, train=False,
+                                rngs={"rdof": rng})
+            return generate_postprocess(imgs, threshold=-0.26)
+        del state_cols
+        return fn
+
+
+def generate(model: Model, rng: jax.Array | int | None = None) -> np.ndarray:
+    """Generate one event: (event_size, 250, 768) float ADU in [0, 255]
+    (reference contract: ieagan.py:1343-1366, tests/test_image_gen.py:29-38).
+    """
+    if rng is None:
+        rng = np.random.randint(0, 2 ** 31 - 1)
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    kz, kr = jax.random.split(rng)
+    z = jax.random.normal(kz, (model.event_size, model.config["dim_z"]), jnp.float32)
+    y = jnp.arange(model.event_size, dtype=jnp.int32)
+    imgs = model._generate_fn(model.params, model.state, z, y, kr)
+    return np.asarray(imgs)

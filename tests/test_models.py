@@ -1,0 +1,112 @@
+"""Model construction + forward contract tests (reference analog:
+tests/test_models.py:24-29)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ieagan_tpu.core.config import DEFAULT_CONFIG
+from ieagan_tpu.models import Generator, Discriminator, g_arch, d_arch
+from tests.helpers import tiny_config
+
+
+def test_arch_tables_match_reference_channels():
+    g = g_arch(32, "0")[256]
+    assert g["in_channels"] == [512, 512, 256, 256, 128, 64]
+    assert g["out_channels"] == [512, 256, 256, 128, 64, 32]
+    assert g["resolution"] == [8, 16, 32, 64, 128, 256]
+    d = d_arch(32, "32")[256]
+    assert d["in_channels"] == [32, 64, 128, 256, 256, 512]
+    assert d["out_channels"] == [64, 128, 256, 256, 512, 512]
+    assert d["attention"][32] and not d["attention"][64]
+
+
+def test_flagship_models_construct():
+    # Construction from the full reference config must not raise.
+    G = Generator.from_config(dict(DEFAULT_CONFIG))
+    D = Discriminator.from_config(dict(DEFAULT_CONFIG))
+    assert G.resolution == 256 and G.H_base == 3 and G.n_classes == 40
+    assert D.hypersphere_dim == 1024 and D.RRM_embed
+    assert D.n_head_D == 4  # config.json lacks n_head_D; default must win
+
+
+class TestTinyForward:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_config()
+        G = Generator.from_config(cfg)
+        D = Discriminator.from_config(cfg)
+        B = cfg["n_classes"] * cfg["events_per_batch"]
+        z = jax.random.normal(jax.random.PRNGKey(0), (B, cfg["dim_z"]))
+        y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+        gv = G.init({"params": jax.random.PRNGKey(1), "rdof": jax.random.PRNGKey(2)},
+                    z, y, train=False)
+        return cfg, G, D, gv, z, y
+
+    def test_generator_forward(self, setup):
+        cfg, G, D, gv, z, y = setup
+        imgs, ups = G.apply(gv, z, y, train=True, rngs={"rdof": jax.random.PRNGKey(3)},
+                            mutable=["batch_stats", "spectral"])
+        B = z.shape[0]
+        assert imgs.shape == (B, cfg["resolution"],
+                              cfg["resolution"] * cfg["H_base"], 1)
+        assert float(jnp.abs(imgs).max()) <= 1.0  # tanh range
+        assert "batch_stats" in ups and "spectral" in ups
+
+    def test_bn_running_stats_update_in_train_only(self, setup):
+        cfg, G, D, gv, z, y = setup
+        _, ups = G.apply(gv, z, y, train=True, rngs={"rdof": jax.random.PRNGKey(3)},
+                         mutable=["batch_stats", "spectral"])
+        before = jax.tree_util.tree_leaves(gv["batch_stats"])
+        after = jax.tree_util.tree_leaves(ups["batch_stats"])
+        assert any(bool(jnp.any(b != a)) for b, a in zip(before, after))
+        _, ups_eval = G.apply(gv, z, y, train=False,
+                              rngs={"rdof": jax.random.PRNGKey(3)},
+                              mutable=["batch_stats", "spectral"])
+        after_eval = jax.tree_util.tree_leaves(ups_eval["batch_stats"])
+        assert all(bool(jnp.all(b == a)) for b, a in zip(before, after_eval))
+
+    def test_sn_u_updates_in_train_only(self, setup):
+        cfg, G, D, gv, z, y = setup
+        _, ups = G.apply(gv, z, y, train=True, rngs={"rdof": jax.random.PRNGKey(3)},
+                         mutable=["batch_stats", "spectral"])
+        before = gv["spectral"]
+        after = ups["spectral"]
+        diffs = jax.tree_util.tree_map(lambda a, b: bool(jnp.any(a != b)),
+                                       before, after)
+        assert any(jax.tree_util.tree_leaves(diffs))
+        _, ups_eval = G.apply(gv, z, y, train=False,
+                              rngs={"rdof": jax.random.PRNGKey(3)},
+                              mutable=["batch_stats", "spectral"])
+        same = jax.tree_util.tree_map(lambda a, b: bool(jnp.all(a == b)),
+                                      before, ups_eval["spectral"])
+        assert all(jax.tree_util.tree_leaves(same))
+
+    def test_discriminator_contract(self, setup):
+        cfg, G, D, gv, z, y = setup
+        imgs = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(3)})
+        dv = D.init({"params": jax.random.PRNGKey(4)}, imgs, y, train=False)
+        (proxy, embed, out), ups = D.apply(dv, imgs, y, train=True,
+                                           mutable=["spectral"])
+        B = z.shape[0]
+        assert proxy.shape == (B, cfg["hypersphere_dim"])
+        assert embed.shape == (B, cfg["hypersphere_dim"])
+        assert out.shape == (B,)
+        # normalize_embed=True -> unit hypersphere
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(embed.astype(jnp.float32), axis=-1)),
+            1.0, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(proxy.astype(jnp.float32), axis=-1)),
+            1.0, rtol=1e-4)
+
+    def test_rdof_changes_output(self, setup):
+        # The per-event random degrees of freedom must affect the images
+        # (reference: model.py:466 — rdof sampled inside forward).
+        cfg, G, D, gv, z, y = setup
+        a = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(10)})
+        b = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(11)})
+        assert bool(jnp.any(a != b))
+        c = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(10)})
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))

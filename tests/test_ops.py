@@ -1,0 +1,184 @@
+"""Per-op numerics tests against independently-computed references
+(SURVEY.md §4: per-op golden tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ieagan_tpu.ops.image_norm import lognorm255, lognorm, denorm, generate_postprocess
+from ieagan_tpu.ops.spectral import power_iteration
+from ieagan_tpu.ops import diff_aug
+from ieagan_tpu import losses
+
+
+class TestImageNorm:
+    def test_lognorm255_range(self):
+        x = jnp.linspace(0.0, 1.0, 11)
+        y = lognorm255(x)
+        assert float(y[0]) == pytest.approx(0.0, abs=1e-6)
+        assert float(y[-1]) == pytest.approx(1.0, abs=1e-6)
+        # reference formula: log(255x+1)/log(256)  (utils/norm.py:8-19)
+        np.testing.assert_allclose(
+            np.asarray(y), np.log(255 * np.asarray(x) + 1) / np.log(256), rtol=1e-6)
+
+    def test_denorm_round_trip(self):
+        # ADU -> lognorm -> [-1,1] -> denorm recovers ADU (rows 3:-3)
+        adu = jnp.array(np.random.RandomState(0).randint(0, 256, (2, 16, 8, 1)),
+                        jnp.float32)
+        unit = lognorm(adu)
+        model_range = unit * 2.0 - 1.0
+        rec = denorm(model_range)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(adu[:, 3:-3]),
+                                   rtol=1e-4, atol=1e-2)
+
+    def test_generate_postprocess_contract(self):
+        imgs = jnp.zeros((5, 256, 768, 1))
+        out = generate_postprocess(imgs)
+        assert out.shape == (5, 250, 768)
+        # x=0 is above the -0.26 threshold -> 256^0.5 - 1 = 15
+        np.testing.assert_allclose(np.asarray(out), 15.0, rtol=1e-5)
+        # below-threshold values are zeroed
+        out2 = generate_postprocess(jnp.full((1, 256, 768, 1), -0.5))
+        np.testing.assert_allclose(np.asarray(out2), 0.0, atol=1e-6)
+
+
+class TestPowerIteration:
+    def test_converges_to_top_sv(self):
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(16, 32), jnp.float32)
+        true_sv = np.linalg.svd(np.asarray(w), compute_uv=False)[0]
+        us = jnp.asarray(rng.randn(1, 16), jnp.float32)
+        for _ in range(50):
+            svs, us = power_iteration(w, us, n_itrs=1, eps=1e-12)
+        assert float(svs[0]) == pytest.approx(float(true_sv), rel=1e-4)
+
+    def test_multiple_svs_gram_schmidt(self):
+        rng = np.random.RandomState(2)
+        w = jnp.asarray(rng.randn(24, 24), jnp.float32)
+        true = np.linalg.svd(np.asarray(w), compute_uv=False)[:2]
+        us = jnp.asarray(rng.randn(2, 24), jnp.float32)
+        for _ in range(200):
+            svs, us = power_iteration(w, us, n_itrs=1, eps=1e-12)
+        assert float(svs[0]) == pytest.approx(float(true[0]), rel=1e-3)
+        assert float(svs[1]) == pytest.approx(float(true[1]), rel=5e-2)
+
+    def test_sv_gradient_flows(self):
+        w = jnp.asarray(np.random.RandomState(3).randn(8, 8), jnp.float32)
+        us = jnp.asarray(np.random.RandomState(4).randn(1, 8), jnp.float32)
+
+        def f(w):
+            svs, _ = power_iteration(w, us, n_itrs=1, eps=1e-12)
+            return svs[0]
+
+        g = jax.grad(f)(w)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestDiffAug:
+    def test_shapes_preserved(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(4, 16, 24, 1), jnp.float32)
+        out = diff_aug.diff_augment(jax.random.PRNGKey(0), x)
+        assert out.shape == x.shape
+
+    def test_cutout_zeroes_box(self):
+        x = jnp.ones((2, 16, 16, 1))
+        out = diff_aug.rand_cutout(jax.random.PRNGKey(1), x)
+        frac = float(jnp.mean(out == 0.0))
+        # cutout is a ratio-0.5 box (possibly clipped at edges)
+        assert 0.05 < frac <= 0.25 + 1e-6
+
+    def test_translation_zero_fill(self):
+        x = jnp.ones((3, 16, 16, 1))
+        out = diff_aug.rand_translation(jax.random.PRNGKey(2), x)
+        assert out.shape == x.shape
+        assert float(out.max()) <= 1.0
+        vals = np.unique(np.asarray(out))
+        assert set(vals).issubset({0.0, 1.0})
+
+    def test_flip_only_flips_width(self):
+        x = jnp.asarray(np.arange(8, dtype=np.float32).reshape(1, 1, 8, 1))
+        x = jnp.tile(x, (8, 2, 1, 1))
+        out = diff_aug.random_flip(jax.random.PRNGKey(4), x, p=1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x[:, :, ::-1]))
+
+    def test_brightness_is_per_sample_shift(self):
+        x = jnp.zeros((4, 4, 4, 1))
+        out = diff_aug.rand_brightness(jax.random.PRNGKey(5), x)
+        per_sample = np.asarray(out).reshape(4, -1)
+        for row in per_sample:
+            assert np.allclose(row, row[0])
+
+
+class TestLosses:
+    def test_hinge(self):
+        fake = jnp.array([0.5, -2.0])
+        real = jnp.array([2.0, 0.5])
+        lr, lf = losses.loss_hinge_dis(fake, real)
+        assert float(lr) == pytest.approx(np.mean([0.0, 0.5]))
+        assert float(lf) == pytest.approx(np.mean([1.5, 0.0]))
+        assert float(losses.loss_hinge_gen(fake)) == pytest.approx(-0.5 / 2 + 1.0)
+
+    def test_unif_loss_matches_pdist_formula(self):
+        rng = np.random.RandomState(0)
+        x = rng.randn(6, 4).astype(np.float32)
+        # torch.pdist(x).pow(2).mul(-2).exp().mean().log()  (loss.py:8-9)
+        d2 = ((x[:, None] - x[None, :]) ** 2).sum(-1)
+        pairs = d2[np.triu_indices(6, k=1)]
+        want = np.log(np.mean(np.exp(-2 * pairs)))
+        got = float(losses.unif_loss(jnp.asarray(x)))
+        assert got == pytest.approx(float(want), rel=1e-5)
+
+    def test_iea_loss_zero_when_equal(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(5, 8), jnp.float32)
+        assert float(losses.iea_loss(x, x)) == pytest.approx(0.0, abs=1e-6)
+
+    def test_iea_loss_batchmean_kl(self):
+        rng = np.random.RandomState(2)
+        kf = rng.randn(4, 8).astype(np.float32)
+        kr = rng.randn(4, 8).astype(np.float32)
+
+        def softmax(z):
+            e = np.exp(z - z.max(-1, keepdims=True))
+            return e / e.sum(-1, keepdims=True)
+
+        pf = softmax(kf @ kf.T)
+        pr = softmax(kr @ kr.T)
+        want = np.sum(pr * (np.log(pr) - np.log(pf))) / 4
+        got = float(losses.iea_loss(jnp.asarray(kf), jnp.asarray(kr)))
+        assert got == pytest.approx(float(want), rel=1e-4)
+
+    def test_contra_loss_reference_formula(self):
+        rng = np.random.RandomState(3)
+        b, d, ncls = 6, 8, 6
+        embed = rng.randn(b, d).astype(np.float32)
+        proxy = rng.randn(b, d).astype(np.float32)
+        labels = np.arange(b)
+        t, margin = 1.0, 0.0
+
+        def cos(a, bb):
+            a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+            bb = bb / np.linalg.norm(bb, axis=-1, keepdims=True)
+            return a @ bb.T
+
+        sim = cos(embed, embed)
+        inst_zone = np.exp((sim - margin) / t)
+        i2p = np.exp((np.sum((embed / np.linalg.norm(embed, axis=-1, keepdims=True))
+                             * (proxy / np.linalg.norm(proxy, axis=-1, keepdims=True)),
+                             -1) - margin) / t)
+        off = ~np.eye(b, dtype=bool)
+        denom = i2p + (inst_zone * off).sum(1)
+        want = -np.mean(np.log(t * i2p / denom))
+        mask = losses.make_mask(jnp.asarray(labels), ncls)
+        got = float(losses.conditional_contrastive_loss(
+            jnp.asarray(embed), jnp.asarray(proxy), mask, jnp.asarray(labels),
+            t, margin))
+        assert got == pytest.approx(float(want), rel=1e-5)
+
+    def test_make_mask(self):
+        y = jnp.array([0, 2, 1, 0])
+        m = np.asarray(losses.make_mask(y, 3))
+        assert m.shape == (3, 4)
+        np.testing.assert_array_equal(m[0], [1, 0, 0, 1])
+        np.testing.assert_array_equal(m[2], [0, 1, 0, 0])
