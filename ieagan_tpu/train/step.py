@@ -73,8 +73,11 @@ def init_train_state(G, D, config, rng) -> TrainState:
     return TrainState(
         params_G=params_G, params_D=params_D, state_G=state_G, state_D=state_D,
         opt_G=g_tx.init(params_G), opt_D=d_tx.init(params_D),
-        params_G_ema=jax.tree_util.tree_map(lambda a: a, params_G),
-        state_G_ema=jax.tree_util.tree_map(lambda a: a, state_G),
+        # EMA starts as a *copy* of the source params (reference:
+        # utils/__init__.py:817-821); distinct buffers also keep jit
+        # donation sound.
+        params_G_ema=jax.tree_util.tree_map(jnp.copy, params_G),
+        state_G_ema=jax.tree_util.tree_map(jnp.copy, state_G),
         itr=jnp.zeros((), jnp.int32))
 
 

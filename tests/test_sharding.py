@@ -1,0 +1,85 @@
+"""Multi-device mesh tests on the virtual 8-device CPU backend
+(SURVEY.md §4d — the analog of multi-node tests without a cluster)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ieagan_tpu.core.mesh import make_mesh, data_sharding
+from ieagan_tpu.models import Generator, Discriminator
+from ieagan_tpu.train import init_train_state
+from ieagan_tpu.parallel.sharding import (
+    make_sharded_train_step, place_state, param_shardings)
+from tests.helpers import tiny_config
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(n_data=4, n_model=2)
+
+
+def test_mesh_axes(mesh8):
+    assert dict(mesh8.shape) == {"data": 4, "model": 2}
+
+
+def test_param_shardings_tp_rule(mesh8):
+    params = {"wide": {"kernel": jnp.zeros((32, 128))},
+              "narrow": {"kernel": jnp.zeros((8, 30))},
+              "bias": {"b": jnp.zeros((128,))}}
+    sh = param_shardings(params, mesh8, tensor_parallel=True)
+    assert "model" in str(sh["wide"]["kernel"].spec)
+    assert sh["narrow"]["kernel"].spec == jax.sharding.PartitionSpec()
+    assert sh["bias"]["b"].spec == jax.sharding.PartitionSpec()
+
+
+def test_data_parallel_train_step(mesh8):
+    cfg = tiny_config(events_per_batch=4, G_ch=16, D_ch=16)
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+    state = place_state(state, mesh8, tensor_parallel=True)
+    step = make_sharded_train_step(G, D, cfg, mesh8, tensor_parallel=True)
+    B = cfg["n_classes"] * cfg["events_per_batch"]
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (B, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1),
+                           minval=-1, maxval=1)
+    y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+    new_state, mets = step(state, x, y, jax.random.PRNGKey(2))
+    jax.block_until_ready(new_state.params_G)
+    assert int(new_state.itr) == 1
+    for v in mets.values():
+        assert np.isfinite(float(v))
+    # batch inputs actually land sharded over the data axis
+    xs = jax.device_put(x, data_sharding(mesh8))
+    assert len(xs.sharding.device_set) >= 4
+
+
+def test_global_bn_equals_single_device(mesh8):
+    """BN moments must be computed over the GLOBAL batch under the sharded
+    jit — the TPU-native cross-replica BN story (SURVEY.md §2.2)."""
+    cfg = tiny_config(events_per_batch=4)
+    G = Generator.from_config(cfg)
+    B = cfg["n_classes"] * cfg["events_per_batch"]
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, cfg["dim_z"]))
+    y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+    gv = G.init({"params": jax.random.PRNGKey(1), "rdof": jax.random.PRNGKey(2)},
+                z, y, train=False)
+
+    def fwd(gv, z, y):
+        return G.apply(gv, z, y, train=True, rngs={"rdof": jax.random.PRNGKey(3)},
+                       mutable=["batch_stats", "spectral"])
+
+    out_single, ups_single = jax.jit(fwd)(gv, z, y)
+    z_sh = jax.device_put(z, data_sharding(mesh8))
+    y_sh = jax.device_put(y, data_sharding(mesh8))
+    out_shard, ups_shard = jax.jit(fwd)(gv, z_sh, y_sh)
+    np.testing.assert_allclose(np.asarray(out_single), np.asarray(out_shard),
+                               rtol=2e-3, atol=2e-3)
+    a = jax.tree_util.tree_leaves(ups_single["batch_stats"])
+    b = jax.tree_util.tree_leaves(ups_shard["batch_stats"])
+    for x1, x2 in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                                   rtol=2e-3, atol=2e-3)
