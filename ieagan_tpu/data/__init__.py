@@ -1,0 +1,2 @@
+from ieagan_tpu.data.dataset import ImageEventsDataset, load_dataset, event_transform
+from ieagan_tpu.data.pipeline import EventLoader, synthetic_events

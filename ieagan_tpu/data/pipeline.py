@@ -1,0 +1,99 @@
+"""Host-side input pipeline: threaded decode + prefetch to device.
+
+Replaces the reference's DataLoader worker processes (reference:
+utils/dataloader.py:81, num_workers=8) with a thread pool (PIL decode
+releases the GIL) and a bounded prefetch queue; batches are flattened to
+(events*event_size, H, W, 1) and device_put (optionally with a data-axis
+NamedSharding) so the accelerator never waits on the host.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+
+class EventLoader:
+    """Iterable over (images, labels) batches of whole events."""
+
+    def __init__(self, dataset, num_workers: int = 8, shuffle: bool = True,
+                 seed: int | None = None, events_per_batch: int = 1,
+                 prefetch: int = 2, sharding=None, drop_last: bool = True):
+        self.dataset = dataset
+        self.num_workers = max(1, num_workers)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.events_per_batch = events_per_batch
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.events_per_batch
+        if not self.drop_last and len(self.dataset) % self.events_per_batch:
+            n += 1
+        return n
+
+    def _order(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(
+                None if self.seed is None else (self.seed, self._epoch))
+            rng.shuffle(idx)
+        return idx
+
+    def __iter__(self):
+        order = self._order()
+        self._epoch += 1
+        epb = self.events_per_batch
+        n_batches = len(self)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        ids = order[b * epb:(b + 1) * epb]
+                        items = list(pool.map(self.dataset.__getitem__, ids))
+                        imgs = np.concatenate([im for im, _ in items], axis=0)
+                        labels = np.concatenate([lb for _, lb in items], axis=0)
+                        if self.sharding is not None:
+                            imgs = jax.device_put(imgs, self.sharding)
+                            labels = jax.device_put(labels, self.sharding)
+                        q.put((imgs, labels))
+            finally:
+                q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def synthetic_events(config: dict, n_batches: int = 10, seed: int = 0):
+    """Synthetic event stream with the real pipeline's shapes/ranges — the
+    debug/data-free path (analog of the reference's --debug dummy loop,
+    train.py:147-149)."""
+    es = int(config["n_classes"])
+    epb = int(config.get("events_per_batch", 1))
+    h = int(config["resolution"])
+    w = h * int(config["H_base"])
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        imgs = rng.uniform(-1.0, 1.0, (es * epb, h, w, 1)).astype(np.float32)
+        labels = np.tile(np.arange(es, dtype=np.int32), epb)
+        yield imgs, labels

@@ -1,0 +1,204 @@
+"""Run driver: the training loop around the fused step.
+
+Reference-parity behavior (reference: train.py:22-247): run-dir setup, seed,
+model build, resume, loggers, epoch loop with periodic SV logging /
+checkpoint+samples / FID test, and the same on-disk log formats. TPU-native
+internals: one jitted fused step, host-threaded data pipeline with device
+prefetch, mesh sharding when configured.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ieagan_tpu.core.config import event_size
+from ieagan_tpu.models import Generator, Discriminator
+from ieagan_tpu.train.step import init_train_state, make_train_step
+from ieagan_tpu.utils import (Logger, MetricsLogger, initialize_directories,
+                              write_metadata, save_checkpoint, load_checkpoint,
+                              latest_checkpoint)
+
+
+def seed_rng(seed: int) -> jax.Array:
+    """Explicit-key RNG plumbing (replaces reference's global seeding,
+    utils/__init__.py:218-226)."""
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def get_singular_values(state, prefix: str) -> dict:
+    """Flatten logged SN singular values (reference:
+    utils/__init__.py:572-588 formats keys with underscores)."""
+    out = {}
+    flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    for path, leaf in flat:
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if keys and keys[-1] == "sv":
+            name = f"{prefix}_" + "_".join(str(k) for k in keys)
+            out[name.replace(".", "_")] = float(np.asarray(leaf).ravel()[0])
+    return out
+
+
+def save_event_grid(imgs, path):
+    """Save a grid PNG of the (B, H, W, 1) batch in ADU space."""
+    from PIL import Image
+    from ieagan_tpu.ops.image_norm import denorm
+    adu = np.asarray(denorm(jnp.asarray(imgs)))[..., 0]  # (B, H-6, W)
+    n = adu.shape[0]
+    ncol = max(1, int(np.sqrt(n)))
+    nrow = (n + ncol - 1) // ncol
+    h, w = adu.shape[1:]
+    grid = np.zeros((nrow * h, ncol * w), np.uint8)
+    for i in range(n):
+        r, c = divmod(i, ncol)
+        grid[r * h:(r + 1) * h, c * w:(c + 1) * w] = adu[i].astype(np.uint8)
+    Image.fromarray(grid).save(path)
+
+
+def run(config: dict):
+    device_count = jax.device_count()
+    rng = seed_rng(int(config["seed"]))
+    es = event_size(config)
+    epb = int(config.get("events_per_batch", 1))
+    runpath = pathlib.Path(config["outputroot"]) / config["run_name"]
+
+    from ieagan_tpu.core.precision import get_policy
+    policy = get_policy(config.get("compute_dtype", "bfloat16"))
+    G = Generator.from_config(config, dtype=policy.compute_dtype)
+    D = Discriminator.from_config(config, dtype=policy.compute_dtype)
+
+    rng, k_init = jax.random.split(rng)
+    state = init_train_state(G, D, config, k_init)
+    n_params_g = sum(x.size for x in jax.tree_util.tree_leaves(state.params_G))
+    n_params_d = sum(x.size for x in jax.tree_util.tree_leaves(state.params_D))
+    print(f"Param count for G: {n_params_g}")
+    print(f"Param count for D: {n_params_d}")
+    print(f"devices: {device_count}, events/batch: {epb}")
+
+    state_dict = {"itr": 0, "epoch": 0, "save_num": 0, "save_best_num": 0,
+                  "best_FID": 999999.0}
+
+    weights_dir = runpath / "weights"
+    if config.get("resume"):
+        tag = latest_checkpoint(weights_dir)
+        if tag:
+            print(f"Resuming from checkpoint '{tag}'")
+            state, state_dict = load_checkpoint(
+                weights_dir, state, tag,
+                load_optim=bool(config.get("load_optim", True)))
+
+    train_log = Logger(config)
+    metrics_log = MetricsLogger(config)
+    write_metadata(config, state_dict)
+
+    # Data
+    if config.get("debug") or not config.get("dataroot"):
+        from ieagan_tpu.data.pipeline import synthetic_events
+        print("debug/synthetic data path")
+        def loader_factory():
+            return synthetic_events(config, n_batches=int(
+                config.get("debug_batches", 8)), seed=int(config["seed"]))
+        steps_per_epoch = int(config.get("debug_batches", 8))
+    else:
+        from ieagan_tpu.data import load_dataset
+        loader = load_dataset(config["dataroot"],
+                              num_workers=int(config["num_workers"]),
+                              shuffle=bool(config["shuffle"]),
+                              seed=int(config["seed"]),
+                              events_per_batch=epb)
+        loader_factory = lambda: loader
+        steps_per_epoch = len(loader)
+
+    train_step = jax.jit(make_train_step(G, D, config, steps_per_epoch),
+                         donate_argnums=(0,))
+
+    itr = int(state.itr)
+    t_start = time.time()
+    stop_after = int(config.get("stop_after", 10 ** 9))
+    for epoch in range(state_dict.get("epoch", 0), int(config["num_epochs"])):
+        for x, y in loader_factory():
+            itr += 1
+            state_dict["itr"] = itr
+            rng, k_step = jax.random.split(rng)
+            x = jnp.asarray(x)
+            y = jnp.asarray(y)
+            state, metrics = train_step(state, x, y, k_step)
+
+            if itr % int(config["log_interval"]) == 0:
+                metrics_host = {k: float(v) for k, v in metrics.items()}
+                elapsed = time.time() - t_start
+                print(f"itr {itr} ({elapsed:.1f}s): " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in metrics_host.items()))
+                train_log.log(itr, **metrics_host)
+
+            if itr % int(config["sv_log_interval"]) == 0:
+                svs = {}
+                svs.update(get_singular_values(state.state_G.get("spectral", {}), "G"))
+                svs.update(get_singular_values(state.state_D.get("spectral", {}), "D"))
+                if svs:
+                    train_log.log(itr, **svs)
+
+            if itr % int(config["save_every"]) == 0:
+                save_and_sample(G, state, state_dict, config, runpath)
+
+            if itr % int(config["test_every"]) == 0:
+                run_test(G, state, state_dict, config, metrics_log)
+
+            if itr >= stop_after:
+                break
+        state_dict["epoch"] = epoch + 1
+        if itr >= stop_after:
+            break
+    # final checkpoint
+    save_and_sample(G, state, state_dict, config, runpath)
+    return state, state_dict
+
+
+def save_and_sample(G, state, state_dict, config, runpath):
+    """Checkpoint + fixed-z sample grid (reference:
+    utils/__init__.py:299-365)."""
+    weights_dir = runpath / "weights"
+    itr = state_dict["itr"]
+    save_checkpoint(weights_dir, state, state_dict, f"copy{itr}")
+    # rotation bookkeeping (reference save_num semantics)
+    if int(config.get("num_save_copies", 2)) > 0:
+        state_dict["save_num"] = (state_dict.get("save_num", 0) + 1) \
+            % int(config["num_save_copies"])
+    # fixed sample grid from (EMA) G
+    use_ema = bool(config.get("ema")) and bool(config.get("use_ema"))
+    params = state.params_G_ema if use_ema else state.params_G
+    gstate = state.state_G_ema if use_ema else state.state_G
+    es = event_size(config)
+    z = jax.random.normal(jax.random.PRNGKey(int(config["seed"])),
+                          (es, int(config["dim_z"])), jnp.float32)
+    y = jnp.arange(es, dtype=jnp.int32)
+    imgs = jax.jit(lambda p, s: G.apply(
+        {"params": p, **s}, z, y, train=False,
+        rngs={"rdof": jax.random.PRNGKey(0)}))(params, gstate)
+    save_event_grid(np.asarray(imgs.astype(jnp.float32)),
+                    runpath / "samples" / f"fixed_samples{itr}.jpg")
+
+
+def run_test(G, state, state_dict, config, metrics_log):
+    """FID test + best bookkeeping (reference: train_fns.py:209-233)."""
+    try:
+        from ieagan_tpu.eval.fid import compute_fid_from_state
+    except ImportError:
+        print("FID engine unavailable; skipping test")
+        return
+    try:
+        fid = compute_fid_from_state(G, state, config)
+    except FileNotFoundError as e:
+        print(f"FID reference stats unavailable ({e}); skipping test")
+        return
+    print(f"The FID score is {fid}")
+    if config.get("which_best", "FID") == "FID" and fid < state_dict["best_FID"]:
+        state_dict["save_best_num"] = (state_dict.get("save_best_num", 0) + 1) \
+            % int(config.get("num_best_copies", 2))
+    state_dict["best_FID"] = min(state_dict["best_FID"], fid)
+    metrics_log.log(itr=int(state_dict["itr"]), FID=float(fid))

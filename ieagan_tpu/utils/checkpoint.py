@@ -1,0 +1,104 @@
+"""Checkpointing with the reference's file-per-component layout.
+
+The reference saves six component files per tag — G, G_optim, D, D_optim,
+state_dict, G_ema — with ``copy<N>`` / ``best<N>`` suffixes (reference:
+utils/__init__.py:689-726 save, 592-668 load). Here each component is a
+flax-msgpack file written atomically (tmp + rename — the TPU-native answer
+to the reference's "extra copy to mitigate corruption" hack,
+utils/__init__.py:306-314).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _join(name_suffix: str | None, base: str) -> str:
+    return f"{base}_{name_suffix}" if name_suffix else base
+
+
+def _atomic_write(path: pathlib.Path, data: bytes):
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as fp:
+        fp.write(data)
+    os.replace(tmp, path)
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(weights_dir, train_state, state_dict: dict,
+                    name_suffix: str | None = None):
+    """Save all components of a TrainState under the run's weights dir."""
+    weights_dir = pathlib.Path(weights_dir)
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    components = {
+        "G": {"params": train_state.params_G, "state": train_state.state_G},
+        "D": {"params": train_state.params_D, "state": train_state.state_D},
+        "G_optim": train_state.opt_G,
+        "D_optim": train_state.opt_D,
+        "G_ema": {"params": train_state.params_G_ema,
+                  "state": train_state.state_G_ema},
+    }
+    for base, tree in components.items():
+        path = weights_dir / f"{_join(name_suffix, base)}.msgpack"
+        _atomic_write(path, serialization.to_bytes(_to_host(tree)))
+    sd = dict(state_dict)
+    sd["itr"] = int(train_state.itr)
+    _atomic_write(weights_dir / f"{_join(name_suffix, 'state_dict')}.json",
+                  json.dumps(sd).encode())
+
+
+def load_checkpoint(weights_dir, train_state, name_suffix: str | None = None,
+                    load_optim: bool = True):
+    """Restore a TrainState (templates give the pytree structure); returns
+    (train_state, state_dict)."""
+    weights_dir = pathlib.Path(weights_dir)
+
+    def load(base, template):
+        path = weights_dir / f"{_join(name_suffix, base)}.msgpack"
+        with open(path, "rb") as fp:
+            return serialization.from_bytes(template, fp.read())
+
+    g = load("G", {"params": train_state.params_G, "state": train_state.state_G})
+    d = load("D", {"params": train_state.params_D, "state": train_state.state_D})
+    gema = load("G_ema", {"params": train_state.params_G_ema,
+                          "state": train_state.state_G_ema})
+    updates = dict(
+        params_G=g["params"], state_G=g["state"],
+        params_D=d["params"], state_D=d["state"],
+        params_G_ema=gema["params"], state_G_ema=gema["state"])
+    if load_optim:
+        updates["opt_G"] = load("G_optim", train_state.opt_G)
+        updates["opt_D"] = load("D_optim", train_state.opt_D)
+    with open(weights_dir / f"{_join(name_suffix, 'state_dict')}.json") as fp:
+        sd = json.load(fp)
+    import jax.numpy as jnp
+    updates["itr"] = jnp.asarray(sd.get("itr", 0), jnp.int32)
+    return train_state.replace(**updates), sd
+
+
+def latest_checkpoint(weights_dir) -> str | None:
+    """Find the most recent copy<N> suffix present, else None."""
+    weights_dir = pathlib.Path(weights_dir)
+    if not weights_dir.exists():
+        return None
+    tags = []
+    for p in weights_dir.glob("state_dict_*.json"):
+        tag = p.stem[len("state_dict_"):]
+        try:
+            with open(p) as fp:
+                itr = json.load(fp).get("itr", -1)
+            tags.append((itr, tag))
+        except (json.JSONDecodeError, OSError):
+            continue
+    if not tags:
+        return None
+    return max(tags)[1]

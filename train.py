@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Training CLI — reference-compatible interface.
+
+``python3 train.py --dataroot <data> --outputroot <out> --run-name <name>``
+(reference: train.py:262-786, README.md:8-12). Every config key is exposed
+as a ``--<key>`` flag (underscores or dashes accepted); flags explicitly
+passed override the JSON config, which overrides the built-in defaults —
+the reference's argparse-SUPPRESS + dict.update merge semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Platform override hook: the axon TPU plugin ignores JAX_PLATFORMS, so an
+# explicit escape hatch is needed to force CPU (e.g. smoke runs).
+if os.environ.get("IEAGAN_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["IEAGAN_PLATFORM"])
+if os.environ.get("IEAGAN_CACHE_DIR"):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.environ["IEAGAN_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from ieagan_tpu.core.config import DEFAULT_CONFIG
+
+
+def _flag_type(default):
+    if isinstance(default, bool):
+        return lambda s: s.lower() in ("1", "true", "yes", "y")
+    if isinstance(default, int):
+        return int
+    if isinstance(default, float):
+        return float
+    return str
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="IEA-GAN/TPU trainer",
+        argument_default=argparse.SUPPRESS)
+    parser.add_argument("--config", type=str, default=argparse.SUPPRESS,
+                        help="JSON config path (defaults merged under it)")
+    parser.add_argument("--dataroot", type=str, default=argparse.SUPPRESS)
+    parser.add_argument("--outputroot", type=str, default=argparse.SUPPRESS)
+    parser.add_argument("--run-name", dest="run_name", type=str,
+                        default=argparse.SUPPRESS)
+    for key, val in DEFAULT_CONFIG.items():
+        if key == "run_name":
+            continue
+        flag = "--" + key.replace("_", "-")
+        kwargs = dict(dest=key, default=argparse.SUPPRESS)
+        if val is None:
+            kwargs["type"] = str
+        else:
+            kwargs["type"] = _flag_type(val)
+        try:
+            parser.add_argument(flag, **kwargs)
+        except argparse.ArgumentError:
+            pass
+    return parser
+
+
+def main(argv=None):
+    args = vars(build_parser().parse_args(argv))
+    config = dict(DEFAULT_CONFIG)
+    config_path = args.pop("config", None)
+    if config_path:
+        with open(config_path, "r", encoding="utf-8") as fp:
+            config.update(json.load(fp))
+    elif os.path.exists("config.json"):
+        # reference loads ./config.json from CWD (train.py:779-782)
+        with open("config.json", "r", encoding="utf-8") as fp:
+            config.update(json.load(fp))
+    config.update(args)
+
+    if "outputroot" not in config:
+        parser_error = "the --outputroot flag is required"
+        raise SystemExit(parser_error)
+
+    from ieagan_tpu.utils import initialize_directories
+    from ieagan_tpu.train.driver import run
+    initialize_directories(config)
+    return run(config)
+
+
+if __name__ == "__main__":
+    main()
