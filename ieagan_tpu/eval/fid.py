@@ -1,0 +1,286 @@
+"""clean-FID engine: model features, custom stats, Fréchet and kernel
+distances.
+
+Faithful to the reference pipeline (reference: mycleanfid/fid.py):
+  * per-image postprocess for FID (fid.py:681-687): threshold(-0.25, -1),
+    [0,1], (256^x - 1)/255 clamp [0,1], crop rows 3:-3;
+  * labels are a fresh permutation of the event classes per batch
+    (fid.py:673), z via trunc-trick rejection sampling when trunc is set
+    (fid.py:637-643);
+  * resize: PIL single-channel float bilinear 299x299 -> 3-channel
+    replication (fid.py:183-196, 690-697) — or the validated on-device
+    equivalent for the fast TPU path;
+  * features: InceptionV3 2048-d pooled (the PXD-finetuned backbone when
+    its weights are available — see eval/inception.py);
+  * FID: scipy sqrtm Fréchet distance (fid.py:431-468); KID: cubic-kernel
+    MMD over subsets (fid.py:476-487);
+  * reference statistics: "<name>_<mode>_custom_na.npz" files with mu/sigma
+    (fid.py:392-407), minted by make_custom_stats (fid.py:832-867).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ieagan_tpu.eval.inception import InceptionV3Features, convert_torch_state_dict
+from ieagan_tpu.eval.resize import pil_resize_batch, jax_resize_single_channel
+
+STATS_DIR = os.environ.get(
+    "IEAGAN_STATS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "stats"))
+
+
+# ---------------------------------------------------------------- features
+
+class FeatureExtractor:
+    """InceptionV3 feature extractor with optional torch-weight loading."""
+
+    def __init__(self, weights_path: str | None = None, seed: int = 0,
+                 dtype=jnp.float32):
+        self.model = InceptionV3Features(dtype=dtype)
+        if weights_path and os.path.exists(weights_path):
+            self.params = self._load_torch(weights_path)
+            self.source = weights_path
+        else:
+            default = os.environ.get("IEAGAN_INCEPTION_WEIGHTS")
+            if default and os.path.exists(default):
+                self.params = self._load_torch(default)
+                self.source = default
+            else:
+                # Deterministic random-projection fallback (finetuned blob is
+                # a missing LFS artifact upstream; see eval/inception.py).
+                x = jnp.zeros((1, 299, 299, 3), jnp.float32)
+                self.params = self.model.init(jax.random.PRNGKey(seed), x)["params"]
+                self.source = f"random-init(seed={seed})"
+        self._apply = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x))
+
+    def _load_torch(self, path):
+        if path.endswith(".msgpack"):
+            # flax params from scripts/finetune_inception.py
+            from flax import serialization
+            x = jnp.zeros((1, 299, 299, 3), jnp.float32)
+            template = self.model.init(jax.random.PRNGKey(0), x)["params"]
+            with open(path, "rb") as fp:
+                return serialization.from_bytes(template, fp.read())
+        import torch
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+        sd = obj if isinstance(obj, dict) else obj.state_dict()
+        return convert_torch_state_dict(sd)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """(B, 299, 299, 3) in [0,1] -> (B, 2048) float32."""
+        return np.asarray(self._apply(self.params, jnp.asarray(images)))
+
+
+# ------------------------------------------------------------- postprocess
+
+def fid_postprocess(imgs: jnp.ndarray) -> jnp.ndarray:
+    """Generator output (B, H, W, 1) in [-1,1] -> (B, H-6, W) in [0,1]
+    (reference: fid.py:681-687, threshold -0.25 for FID vs -0.26 in
+    generate())."""
+    x = jnp.where(imgs > -0.25, imgs, -1.0)
+    x = x * 0.5 + 0.5
+    x = jnp.clip((jnp.power(256.0, x) - 1.0) / 255.0, 0.0, 1.0)
+    return x[:, 3:-3, :, 0]
+
+
+def trunc_trick(key, shape, bound: float = 1.0, max_iters: int = 16):
+    """Rejection-resample z into (-bound, bound) (reference:
+    utils/__init__.py:880-884), jit-friendly fixed-iteration variant."""
+    def body(i, carry):
+        z, key = carry
+        key, sub = jax.random.split(key)
+        fresh = jax.random.normal(sub, shape)
+        z = jnp.where((z > -bound) & (z < bound), z, fresh)
+        return z, key
+    key, sub = jax.random.split(key)
+    z = jax.random.normal(sub, shape)
+    z, _ = jax.lax.fori_loop(0, max_iters, body, (z, key))
+    return jnp.clip(z, -bound, bound)
+
+
+# ------------------------------------------------------------- distances
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Fréchet distance (reference: fid.py:431-468)."""
+    from scipy import linalg
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def kernel_distance(feats1, feats2, num_subsets: int = 100,
+                    max_subset_size: int = 1000, seed: int | None = None) -> float:
+    """KID with the cubic polynomial kernel (reference: fid.py:476-487)."""
+    rng = np.random.default_rng(seed)
+    n = feats1.shape[1]
+    m = min(min(feats1.shape[0], feats2.shape[0]), max_subset_size)
+    t = 0.0
+    for _ in range(num_subsets):
+        x = feats2[rng.choice(feats2.shape[0], m, replace=False)]
+        y = feats1[rng.choice(feats1.shape[0], m, replace=False)]
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        t += (a.sum() - np.diag(a).sum()) / (m - 1) - b.sum() * 2 / m
+    return float(t / num_subsets / m)
+
+
+# ------------------------------------------------------------ feature runs
+
+def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
+                       batch_size: int, rng, resize_on_device: bool = True):
+    """Collect features from a generator callable.
+
+    gen_fn(key) -> (batch_size, H, W, 1) images in [-1, 1] (one event batch,
+    permuted labels inside — reference: fid.py:673-687).
+    """
+    num_iters = int(np.ceil(num_gen / batch_size))
+    feats = []
+    post = jax.jit(fid_postprocess)
+    resize = jax.jit(jax_resize_single_channel) if resize_on_device else None
+    for _ in range(num_iters):
+        rng, sub = jax.random.split(rng)
+        imgs = gen_fn(sub)
+        imgs01 = post(imgs)
+        if resize_on_device:
+            batch299 = resize(imgs01)
+        else:
+            batch299 = pil_resize_batch(np.asarray(imgs01))
+        feats.append(extractor(batch299))
+    return np.concatenate(feats)[:num_gen]
+
+
+def get_folder_features(fdir, extractor: FeatureExtractor, num=None,
+                        batch_size: int = 64, resize_on_device: bool = False):
+    """Features for all images in a folder (reference: make_custom_stats
+    input path, fid.py:843-860). Images are loaded as single-channel [0,1]."""
+    from PIL import Image
+    files = sorted(
+        p for p in pathlib.Path(fdir).rglob("*")
+        if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp", ".tiff"))
+    if num is not None:
+        files = files[:num]
+    feats = []
+    for i in range(0, len(files), batch_size):
+        chunk = files[i:i + batch_size]
+        imgs = np.stack([
+            np.asarray(Image.open(f).convert("L"), np.float32) / 255.0
+            for f in chunk])
+        batch299 = (np.asarray(jax_resize_single_channel(jnp.asarray(imgs)))
+                    if resize_on_device else pil_resize_batch(imgs))
+        feats.append(extractor(batch299))
+    return np.concatenate(feats)
+
+
+# --------------------------------------------------------------- stats API
+
+def _stats_path(name: str, mode: str = "clean", split: str = "custom",
+                res: str = "na") -> str:
+    return os.path.join(STATS_DIR, f"{name}_{mode}_{split}_{res}.npz".lower())
+
+
+def get_reference_statistics(name: str, mode: str = "clean",
+                             split: str = "custom", res: str = "na"):
+    path = _stats_path(name, mode, split, res)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"reference statistics {path} not found; mint them with "
+            "ieagan_tpu.eval.fid.make_custom_stats")
+    stats = np.load(path)
+    return stats["mu"], stats["sigma"]
+
+
+def make_custom_stats(name: str, fdir: str, num=None, mode: str = "clean",
+                      batch_size: int = 64,
+                      extractor: FeatureExtractor | None = None,
+                      overwrite: bool = False) -> str:
+    """Mint mu/sigma reference stats from a folder of real images
+    (reference: fid.py:832-867)."""
+    extractor = extractor or FeatureExtractor()
+    path = _stats_path(name, mode)
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(f"statistics file {path} already exists")
+    feats = get_folder_features(fdir, extractor, num=num, batch_size=batch_size)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, mu=np.mean(feats, axis=0),
+                        sigma=np.cov(feats, rowvar=False))
+    return path
+
+
+# ----------------------------------------------------------- top-level API
+
+def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
+                dataset_name: str = "pxd_sim_test_com", num_gen: int = 16000,
+                batch_size: int = 40, rng=None,
+                extractor: FeatureExtractor | None = None,
+                resize_on_device: bool = True,
+                return_features: bool = False):
+    """FID for a generator against dataset stats, or between two folders
+    (reference: fid.py:870-942)."""
+    extractor = extractor or FeatureExtractor()
+    if fdir1 is not None and fdir2 is not None:
+        f1 = get_folder_features(fdir1, extractor, batch_size=batch_size)
+        f2 = get_folder_features(fdir2, extractor, batch_size=batch_size)
+        fid = frechet_distance(np.mean(f1, 0), np.cov(f1, rowvar=False),
+                               np.mean(f2, 0), np.cov(f2, rowvar=False))
+        return (fid, f1, f2) if return_features else fid
+    if gen_fn is None:
+        raise ValueError("need gen_fn or two folders")
+    ref_mu, ref_sigma = get_reference_statistics(dataset_name)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    feats = get_model_features(gen_fn, extractor, num_gen=num_gen,
+                               batch_size=batch_size, rng=rng,
+                               resize_on_device=resize_on_device)
+    fid = frechet_distance(np.mean(feats, 0), np.cov(feats, rowvar=False),
+                           ref_mu, ref_sigma)
+    return (fid, feats) if return_features else fid
+
+
+def make_generator_fn(G, params, state, config, trunc: float | None = None):
+    """Build gen_fn(key) -> one event batch with permuted labels
+    (reference: fid.py:670-680)."""
+    es = int(config["n_classes"])
+    epb = int(config.get("events_per_batch", 1))
+    dim_z = int(config["dim_z"])
+
+    @jax.jit
+    def gen(key):
+        kz, ky, kr = jax.random.split(key, 3)
+        if trunc is not None:
+            z = trunc_trick(kz, (es * epb, dim_z), bound=trunc)
+        else:
+            z = jax.random.normal(kz, (es * epb, dim_z))
+        perms = [jax.random.permutation(jax.random.fold_in(ky, i), es)
+                 for i in range(epb)]
+        y = jnp.concatenate(perms)
+        return G.apply({"params": params, **state}, z, y, train=False,
+                       rngs={"rdof": kr})
+
+    return gen
+
+
+def compute_fid_from_state(G, train_state, config):
+    """Driver hook (reference: train_fns.py:209-233): FID of the (EMA)
+    generator vs the configured dataset stats."""
+    use_ema = bool(config.get("ema")) and bool(config.get("use_ema"))
+    params = train_state.params_G_ema if use_ema else train_state.params_G
+    state = train_state.state_G_ema if use_ema else train_state.state_G
+    gen = make_generator_fn(G, params, state, config, trunc=None)
+    return compute_fid(
+        gen, dataset_name=config.get("fid_dataset_name", "pxd_sim_test_com"),
+        num_gen=int(config.get("num_incep_images", 16000)),
+        batch_size=int(config["n_classes"]) * int(config.get("events_per_batch", 1)),
+        rng=jax.random.PRNGKey(int(config.get("seed", 0))))

@@ -1,0 +1,130 @@
+"""Physics-stats evaluation harness.
+
+Reproduces the reference's detector-physics observables (reference:
+Evaluation/eval_all.py:75-120, plotted by plot_for_paper.ipynb):
+  * ADU pixel-intensity spectrum over variable bins
+    [-1, 1, 7, 8..256] (eval_all.py:76);
+  * per-event occupancy (fraction of pixels above the 7-ADU threshold)
+    distribution over 200 bins in [0, 0.02] (eval_all.py:77);
+  * per-sensor mean charge over above-threshold pixels (eval_all.py:92-96).
+
+Implemented with numpy histograms (the reference uses boost-histogram —
+identical bin semantics, no native dependency).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+THRESHOLD = 7  # ADU noise cut (reference: eval_all.py:34)
+
+INTENSITY_BINS = np.array([-1.0, 1.0, 7.0] + list(np.linspace(8, 256, 249)))
+OCCUPANCY_BINS = np.linspace(0.0, 0.02, 201)
+
+
+def log_transform_inv(img: np.ndarray) -> np.ndarray:
+    """[-1,1] model output -> ADU (reference: eval_all.py:104-106)."""
+    img = 0.5 * (img + 1.0)
+    return np.exp(np.log(256.0) * img) - 1.0
+
+
+@dataclass
+class EventStats:
+    """Accumulated physics stats over a stream of event batches."""
+    intensity_hist: np.ndarray = field(
+        default_factory=lambda: np.zeros(len(INTENSITY_BINS) - 1, np.int64))
+    occupancy_hist: np.ndarray = field(
+        default_factory=lambda: np.zeros(len(OCCUPANCY_BINS) - 1, np.int64))
+    mean_charges: list = field(default_factory=list)
+    occupancies: list = field(default_factory=list)
+    n_events: int = 0
+
+    def update(self, imgs: np.ndarray):
+        """imgs: (n_sensors, H, W) ADU images of one event batch, noise cut
+        applied (pixels below threshold set to 0)."""
+        mask = imgs > 0
+        self.intensity_hist += np.histogram(imgs.ravel(), INTENSITY_BINS)[0]
+        occ_per_img = mask.mean(axis=(1, 2))
+        self.occupancy_hist += np.histogram(occ_per_img, OCCUPANCY_BINS)[0]
+        denom = np.maximum(mask.sum(axis=(1, 2)), 1)
+        self.mean_charges.append(np.where(imgs > 0, imgs, 0).sum(axis=(1, 2)) / denom)
+        self.occupancies.append(occ_per_img)
+        self.n_events += 1
+
+    def summary(self) -> dict:
+        return {
+            "intensity_hist": self.intensity_hist,
+            "intensity_bins": INTENSITY_BINS,
+            "occupancy_hist": self.occupancy_hist,
+            "occupancy_bins": OCCUPANCY_BINS,
+            "per_sensor_mean_charge": np.mean(self.mean_charges, axis=0),
+            "per_sensor_occupancy": np.mean(self.occupancies, axis=0),
+            "n_events": self.n_events,
+        }
+
+
+def get_stats(event_stream, n_events: int = 100) -> dict:
+    """Accumulate stats over an iterable of (imgs, labels) ADU event batches
+    (reference: eval_all.py:75-101)."""
+    acc = EventStats()
+    for i, (imgs, _labels) in zip(range(n_events), event_stream):
+        acc.update(np.asarray(imgs))
+    return acc.summary()
+
+
+def generate_event_stream(G, params, state, config, seed: int = 0):
+    """Infinite generator of noise-cut ADU events from a trained G
+    (reference: eval_all.py:109-120)."""
+    es = int(config["n_classes"])
+    dim_z = int(config["dim_z"])
+
+    @jax.jit
+    def gen(key):
+        kz, kr = jax.random.split(key)
+        z = jax.random.normal(kz, (es, dim_z))
+        y = jnp.arange(es, dtype=jnp.int32)
+        return G.apply({"params": params, **state}, z, y, train=False,
+                       rngs={"rdof": kr})
+
+    key = jax.random.PRNGKey(seed)
+    labels = np.arange(es)
+    while True:
+        key, sub = jax.random.split(key)
+        imgs = np.asarray(gen(sub).astype(jnp.float32))  # (es, H, W, 1)
+        adu = log_transform_inv(imgs[..., 0])
+        adu[adu < THRESHOLD] = 0.0
+        adu = adu[:, 3:-3, :]
+        yield adu, labels
+
+
+def real_event_stream(dataroot: str, seed: int = 0):
+    """ADU event stream from a real dataset directory (the tf.data analog of
+    Evaluation/dataset.py)."""
+    from ieagan_tpu.data import ImageEventsDataset
+    ds = ImageEventsDataset(dataroot, noise_scale=0.0)
+    labels = np.arange(ds.n_sensors)
+    order = np.random.default_rng(seed).permutation(len(ds))
+    for idx in order:
+        imgs, _ = ds[idx]  # (es, H, W, 1) in [-1, 1] (lognormed)
+        adu = log_transform_inv(imgs[..., 0])
+        adu[adu < THRESHOLD] = 0.0
+        adu = adu[:, 3:-3, :]
+        yield adu, labels
+
+
+def compare_models(models: dict, config: dict, n_events: int = 100,
+                   real_dataroot: str | None = None, seed: int = 0) -> dict:
+    """Ablation-style comparison harness (reference: eval_all.py:123-144):
+    stats per model (and optionally for the real dataset)."""
+    all_stats = {}
+    if real_dataroot:
+        all_stats["real"] = get_stats(real_event_stream(real_dataroot, seed),
+                                      n_events)
+    for name, (G, params, state) in models.items():
+        stream = generate_event_stream(G, params, state, config, seed)
+        all_stats[name] = get_stats(stream, n_events)
+    return all_stats

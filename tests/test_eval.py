@@ -1,0 +1,191 @@
+"""Evaluation-engine tests: resize equivalence, Inception graph parity vs
+torch, Fréchet/KID numerics, end-to-end FID on synthetic data."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ieagan_tpu.eval import fid as fid_mod
+from ieagan_tpu.eval.resize import (pil_resize_batch, jax_resize_single_channel,
+                                    pil_resize_single_channel)
+
+
+class TestResize:
+    def test_jax_matches_pil_bilinear(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(2, 250, 768).astype(np.float32)
+        ref = pil_resize_batch(x)
+        got = np.asarray(jax_resize_single_channel(jnp.asarray(x)))
+        assert got.shape == ref.shape == (2, 299, 299, 3)
+        # antialiased triangle filter == PIL bilinear (small float diffs)
+        assert np.abs(got - ref).max() < 5e-3
+        assert np.abs(got - ref).mean() < 2e-4
+
+    def test_channel_replication(self):
+        x = np.random.RandomState(1).rand(1, 64, 64).astype(np.float32)
+        out = np.asarray(jax_resize_single_channel(jnp.asarray(x)))
+        np.testing.assert_array_equal(out[..., 0], out[..., 1])
+        np.testing.assert_array_equal(out[..., 0], out[..., 2])
+
+
+class TestFrechet:
+    def test_zero_for_identical(self):
+        rng = np.random.RandomState(0)
+        f = rng.randn(500, 16)
+        mu, sig = f.mean(0), np.cov(f, rowvar=False)
+        assert fid_mod.frechet_distance(mu, sig, mu, sig) == pytest.approx(0.0, abs=1e-6)
+
+    def test_mean_shift(self):
+        # diagonal-identity covs: FID == ||dmu||^2
+        d = 8
+        mu1, mu2 = np.zeros(d), np.ones(d) * 2.0
+        sig = np.eye(d)
+        assert fid_mod.frechet_distance(mu1, sig, mu2, sig) == pytest.approx(4.0 * d)
+
+    def test_kid_zero_for_same_distribution(self):
+        rng = np.random.RandomState(0)
+        f1 = rng.randn(400, 8)
+        f2 = rng.randn(400, 8)
+        kid_same = fid_mod.kernel_distance(f1, f2, num_subsets=20, seed=0)
+        kid_diff = fid_mod.kernel_distance(f1, f2 + 3.0, num_subsets=20, seed=0)
+        assert abs(kid_same) < 0.5
+        assert kid_diff > 10 * abs(kid_same)
+
+
+class TestFidPostprocess:
+    def test_threshold_and_range(self):
+        imgs = jnp.stack([jnp.full((256, 768, 1), -0.5),
+                          jnp.zeros((256, 768, 1))])
+        out = np.asarray(fid_mod.fid_postprocess(imgs))
+        assert out.shape == (2, 250, 768)
+        np.testing.assert_allclose(out[0], 0.0, atol=1e-6)  # below cut
+        np.testing.assert_allclose(out[1], 15.0 / 255.0, rtol=1e-5)
+
+    def test_trunc_trick_bounds(self):
+        z = np.asarray(fid_mod.trunc_trick(jax.random.PRNGKey(0), (64, 128),
+                                           bound=0.5))
+        assert np.abs(z).max() <= 0.5
+
+
+class TestInceptionParity:
+    """Cross-framework parity of the converted building blocks against a
+    torch oracle (torchvision itself isn't installed in this image; these
+    use the same Conv/BN/pool semantics its inception_v3 is made of)."""
+
+    def _torch_basic_conv(self, torch, out_ch, in_ch, k, s, p, seed):
+        g = torch.Generator().manual_seed(seed)
+        conv = torch.nn.Conv2d(in_ch, out_ch, k, stride=s, padding=p, bias=False)
+        bn = torch.nn.BatchNorm2d(out_ch, eps=1e-3).eval()
+        with torch.no_grad():
+            conv.weight.copy_(torch.randn(conv.weight.shape, generator=g))
+            bn.weight.copy_(torch.rand(out_ch, generator=g) + 0.5)
+            bn.bias.copy_(torch.randn(out_ch, generator=g))
+            bn.running_mean.copy_(torch.randn(out_ch, generator=g))
+            bn.running_var.copy_(torch.rand(out_ch, generator=g) + 0.5)
+        return conv, bn
+
+    def test_basic_conv2d_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from ieagan_tpu.eval.inception import BasicConv2d, convert_torch_state_dict
+        for k, s, p in [((3, 3), (2, 2), (0, 0)), ((1, 7), (1, 1), (0, 3)),
+                        ((5, 5), (1, 1), (2, 2))]:
+            conv, bn = self._torch_basic_conv(torch, 8, 5, k, s, p, seed=0)
+            sd = {"blk.conv.weight": conv.weight.detach(),
+                  "blk.bn.weight": bn.weight.detach(),
+                  "blk.bn.bias": bn.bias.detach(),
+                  "blk.bn.running_mean": bn.running_mean,
+                  "blk.bn.running_var": bn.running_var}
+            params = convert_torch_state_dict(sd)["blk"]
+            x = np.random.RandomState(1).rand(2, 21, 23, 5).astype(np.float32)
+            ours = np.asarray(BasicConv2d(8, k, strides=s, padding=p).apply(
+                {"params": params}, jnp.asarray(x)))
+            with torch.no_grad():
+                t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+                theirs = torch.relu(bn(conv(t))).numpy().transpose(0, 2, 3, 1)
+            assert np.abs(ours - theirs).max() < 1e-4, (k, s, p)
+
+    def test_pools_match_torch(self):
+        torch = pytest.importorskip("torch")
+        from ieagan_tpu.eval.inception import _avg_pool3, _max_pool3s2
+        x = np.random.RandomState(2).rand(2, 35, 35, 3).astype(np.float32)
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        avg_ref = torch.nn.functional.avg_pool2d(t, 3, stride=1, padding=1) \
+            .numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(_avg_pool3(jnp.asarray(x))),
+                                   avg_ref, rtol=1e-5, atol=1e-6)
+        max_ref = torch.nn.functional.max_pool2d(t, 3, stride=2) \
+            .numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(_max_pool3s2(jnp.asarray(x))),
+                                   max_ref, rtol=1e-5, atol=1e-6)
+
+    def test_feature_shape(self):
+        from ieagan_tpu.eval.inception import init_feature_params
+        model, params = init_feature_params(seed=0)
+        x = jnp.zeros((1, 299, 299, 3))
+        out = model.apply({"params": params}, x)
+        assert out.shape == (1, 2048)
+
+
+class TestEndToEndFid:
+    def test_generator_fid_runs(self, tmp_path, monkeypatch):
+        """FID of a dummy 'generator' against stats minted from its own
+        outputs should be ~0 (same distribution)."""
+        monkeypatch.setattr(fid_mod, "STATS_DIR", str(tmp_path))
+        extractor = fid_mod.FeatureExtractor(seed=0)
+        h, w, es = 32, 32, 4
+
+        def gen_fn(key):
+            return jax.random.uniform(key, (es, h, w, 1), minval=-1.0,
+                                      maxval=1.0)
+
+        # mint stats from the same distribution
+        feats_ref = fid_mod.get_model_features(
+            gen_fn, extractor, num_gen=32, batch_size=es,
+            rng=jax.random.PRNGKey(1))
+        np.savez_compressed(tmp_path / "selftest_clean_custom_na.npz",
+                            mu=feats_ref.mean(0),
+                            sigma=np.cov(feats_ref, rowvar=False))
+        fid = fid_mod.compute_fid(gen_fn, dataset_name="selftest", num_gen=32,
+                                  batch_size=es, rng=jax.random.PRNGKey(2),
+                                  extractor=extractor)
+        assert np.isfinite(fid)
+        # vs a shifted distribution the score must grow
+        def gen_shifted(key):
+            return jnp.clip(gen_fn(key) + 0.8, -1, 1)
+        fid_shift = fid_mod.compute_fid(gen_shifted, dataset_name="selftest",
+                                        num_gen=32, batch_size=es,
+                                        rng=jax.random.PRNGKey(2),
+                                        extractor=extractor)
+        assert fid_shift > fid
+
+    def test_missing_stats_raises(self, monkeypatch, tmp_path):
+        monkeypatch.setattr(fid_mod, "STATS_DIR", str(tmp_path))
+        with pytest.raises(FileNotFoundError):
+            fid_mod.get_reference_statistics("nope")
+
+
+class TestPhysicsStats:
+    def test_stats_shapes_and_threshold(self):
+        from ieagan_tpu.eval import physics
+        rng = np.random.RandomState(0)
+
+        def stream():
+            while True:
+                adu = rng.rand(4, 32, 32) * 60.0
+                adu[adu < physics.THRESHOLD] = 0.0
+                yield adu, np.arange(4)
+
+        stats = physics.get_stats(stream(), n_events=5)
+        assert stats["n_events"] == 5
+        assert stats["per_sensor_mean_charge"].shape == (4,)
+        assert stats["per_sensor_occupancy"].shape == (4,)
+        assert stats["intensity_hist"].sum() == 5 * 4 * 32 * 32
+        # mean charge is over above-threshold pixels only
+        assert stats["per_sensor_mean_charge"].min() >= physics.THRESHOLD
+
+    def test_log_transform_inv(self):
+        from ieagan_tpu.eval.physics import log_transform_inv
+        assert log_transform_inv(np.array(1.0)) == pytest.approx(255.0)
+        assert log_transform_inv(np.array(-1.0)) == pytest.approx(0.0)
