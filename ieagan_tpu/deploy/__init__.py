@@ -1,1 +1,4 @@
-from ieagan_tpu.deploy.inference import Model, generate, FROZEN_CONFIG
+from ieagan_tpu.deploy.inference import (
+    Model, generate, generate_batched, FROZEN_CONFIG)
+from ieagan_tpu.deploy.producer import (
+    extract_sparse_digits, EventProducer, NpzWriter, produce_events)

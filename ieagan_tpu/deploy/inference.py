@@ -67,6 +67,20 @@ class Model:
         return fn
 
 
+def generate_batched(model: Model, events_per_call: int,
+                     rng: jax.Array) -> jax.Array:
+    """Generate events_per_call events in one device program:
+    (events_per_call * event_size, 250, W) ADU images. The batched variant
+    of generate() used by the production pipeline (amortizes dispatch and
+    fills the MXU)."""
+    es = model.event_size
+    kz, kr = jax.random.split(rng)
+    z = jax.random.normal(kz, (es * events_per_call, model.config["dim_z"]),
+                          jnp.float32)
+    y = jnp.tile(jnp.arange(es, dtype=jnp.int32), events_per_call)
+    return model._generate_fn(model.params, model.state, z, y, kr)
+
+
 def generate(model: Model, rng: jax.Array | int | None = None) -> np.ndarray:
     """Generate one event: (event_size, 250, 768) float ADU in [0, 255]
     (reference contract: ieagan.py:1343-1366, tests/test_image_gen.py:29-38).

@@ -174,6 +174,11 @@ def save_and_sample(G, state, state_dict, config, runpath):
     params = state.params_G_ema if use_ema else state.params_G
     gstate = state.state_G_ema if use_ema else state.state_G
     es = event_size(config)
+    if config.get("accumulate_stats"):
+        from ieagan_tpu.utils.sampling import accumulate_standing_stats
+        gstate = accumulate_standing_stats(
+            G, params, gstate, config, jax.random.PRNGKey(itr),
+            int(config.get("num_standing_accumulations", 16)))
     z = jax.random.normal(jax.random.PRNGKey(int(config["seed"])),
                           (es, int(config["dim_z"])), jnp.float32)
     y = jnp.arange(es, dtype=jnp.int32)
@@ -182,6 +187,20 @@ def save_and_sample(G, state, state_dict, config, runpath):
         rngs={"rdof": jax.random.PRNGKey(0)}))(params, gstate)
     save_event_grid(np.asarray(imgs.astype(jnp.float32)),
                     runpath / "samples" / f"fixed_samples{itr}.jpg")
+    # proxy / G-embedding cosine-similarity heatmaps
+    # (reference: train.py:196-229, utils/plot.py:29-70)
+    try:
+        from ieagan_tpu.utils.plot import plot_sim_heatmap
+        shared = np.asarray(params["shared"]["embedding"])
+        plot_sim_heatmap(shared, runpath / "samples" / f"sim_heatmap_G{itr}.jpg",
+                         title=f"G shared-embedding similarity @ {itr}")
+        proxies = state.params_D.get("embed", {}).get("embedding")
+        if proxies is not None:
+            plot_sim_heatmap(np.asarray(proxies),
+                             runpath / "samples" / f"sim_heatmap_D{itr}.jpg",
+                             title=f"D class-proxy similarity @ {itr}")
+    except Exception as e:  # plotting must never kill training
+        print(f"sim-heatmap plotting failed: {e}")
 
 
 def run_test(G, state, state_dict, config, metrics_log):

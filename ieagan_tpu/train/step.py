@@ -149,10 +149,13 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
         return out, ups
 
     def d_forward(params_D, state_D, x, y):
-        (proxy, embed, score), ups = D.apply(
+        out, ups = D.apply(
             {"params": params_D, **state_D}, x, y, train=True,
             mutable=list(state_D.keys()))
-        return (proxy, embed, score), ups
+        if strategy == "Proj":
+            # Proj returns the scalar score only (reference: model.py:939-944)
+            return (None, None, jnp.squeeze(out, -1) if out.ndim > 1 else out), ups
+        return out, ups
 
     def train_step(state: TrainState, x, y, rng):
         batch = x.shape[0]
@@ -199,6 +202,13 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
                             u = losses.unif_loss(embed_r)
                             d_loss = d_loss + unif_lambda * u
                             mets["unif_loss_d"] = u
+                    elif strategy == "Proj" and con_reg:
+                        # Proj-strategy consistency reg (train_fns.py:57-66)
+                        rng2 = jax.random.fold_in(kaug, 1)
+                        x_aug = cr_diff_augment(rng2, x)
+                        (_, _, score_ra), d_ups = d_forward(p_D, d_ups, x_aug, y)
+                        d_loss = d_loss + cr_lambda * losses.l2_loss(
+                            score_r, score_ra)
                     d_loss = d_loss / float(num_D_acc)
                     return d_loss, (g_ups, d_ups, embed_r, mets)
 

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Model-comparison physics evaluation (reference analog:
+Evaluation/eval_all.py): accumulate intensity/occupancy/mean-charge stats
+for trained checkpoints (IEAGAN + ablations) and, optionally, the real
+dataset; pickle the results for scripts/plot_physics.py.
+
+Usage:
+  python scripts/eval_all.py --out eval_results.pickle \
+      --model IEAGAN:<weights_dir> [--model ContraGAN:<weights_dir> ...] \
+      [--dataroot <real-data>] [--n-events 100]
+
+Ablation configs mirror the reference's (eval_all.py:23-72): ContraGAN =
+no RRM/rdof; BigGAN_deep = no RRM/rdof/prior; PEGAN adds G attention at 32.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ABLATION_OVERRIDES = {
+    "IEAGAN": {},
+    "ContraGAN": {"RRM_prx_G": False, "rdof_dim": 0},
+    "PEGAN": {"G_attn": "32", "RRM_prx_G": False, "rdof_dim": 0},
+    "BigGAN_deep": {"RRM_prx_G": False, "rdof_dim": 0},
+}
+
+
+def load_model(name: str, weights_dir: str):
+    from flax import serialization
+    from ieagan_tpu.deploy import Model
+    overrides = dict(ABLATION_OVERRIDES.get(name, {}))
+    model = Model(config=overrides)
+    path = os.path.join(weights_dir, "G_ema.msgpack")
+    if not os.path.exists(path):
+        path = os.path.join(weights_dir, "G.msgpack")
+    with open(path, "rb") as fp:
+        tree = serialization.from_bytes(
+            {"params": model.params, "state": model.state}, fp.read())
+    model.params, model.state = tree["params"], tree["state"]
+    return model
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="eval_results.pickle")
+    ap.add_argument("--model", action="append", default=[],
+                    help="NAME:weights_dir (repeatable)")
+    ap.add_argument("--dataroot", default=None)
+    ap.add_argument("--n-events", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from ieagan_tpu.eval import physics
+
+    all_stats = {}
+    if args.dataroot:
+        all_stats["real"] = physics.get_stats(
+            physics.real_event_stream(args.dataroot, args.seed), args.n_events)
+    for spec in args.model:
+        name, _, weights_dir = spec.partition(":")
+        model = load_model(name, weights_dir)
+        stream = physics.generate_event_stream(
+            model.module, model.params, model.state, model.config, args.seed)
+        all_stats[name] = physics.get_stats(stream, args.n_events)
+        print(f"{name}: occupancy mean "
+              f"{all_stats[name]['per_sensor_occupancy'].mean():.5f}")
+
+    with open(args.out, "wb") as fp:
+        pickle.dump(all_stats, fp)
+    print(f"stats -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

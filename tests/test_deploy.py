@@ -1,0 +1,65 @@
+"""Deployment layer tests: native sparse extraction, producer pipeline,
+npz sink (basf2 itself is absent here; its Module path is import-gated)."""
+
+import numpy as np
+import pytest
+
+from ieagan_tpu.deploy import producer as prod
+
+
+class TestSparseDigits:
+    def test_native_lib_builds(self):
+        lib = prod._load_native()
+        assert lib is not None, "C++ sparse digit library failed to build"
+
+    def test_matches_numpy_reference(self):
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(3, 25, 77).astype(np.float32) * 80.0
+        imgs[imgs < 40] = 0.0
+        coords, charges = prod.extract_sparse_digits(imgs)
+        mask = imgs > 0
+        want_coords = np.argwhere(mask)
+        want_charges = imgs[mask].astype(np.uint8)
+        np.testing.assert_array_equal(coords, want_coords)
+        np.testing.assert_array_equal(charges, want_charges)
+
+    def test_threshold_and_saturation(self):
+        imgs = np.array([[[0.0, 7.5, 300.0, 254.6]]], np.float32)
+        coords, charges = prod.extract_sparse_digits(imgs, threshold=7.0)
+        np.testing.assert_array_equal(coords[:, 2], [1, 2, 3])
+        np.testing.assert_array_equal(charges, [7, 255, 254])
+
+    def test_empty(self):
+        coords, charges = prod.extract_sparse_digits(
+            np.zeros((2, 4, 4), np.float32))
+        assert coords.shape == (0, 3) and charges.shape == (0,)
+
+
+class TestProducer:
+    def test_producer_round_trip(self):
+        from ieagan_tpu.deploy import Model
+        m = Model(config=dict(resolution=32, n_classes=4, H_base=1, G_ch=4,
+                              G_depth=1, G_attn="0",
+                              use_pallas_attention=False))
+        p = prod.EventProducer(m, num_events=3, events_per_call=1,
+                               seed=0).start()
+        events = list(p)
+        assert len(events) == 3
+        for coords, charges in events:
+            assert coords.ndim == 2 and coords.shape[1] == 3
+            assert charges.dtype == np.uint8
+            if len(coords):
+                assert coords[:, 0].max() < 4  # sensor index in range
+                assert coords[:, 1].max() < 26  # 32-6 rows
+
+    def test_npz_writer(self, tmp_path):
+        w = prod.NpzWriter(str(tmp_path), events_per_shard=2)
+        for i in range(3):
+            w.write((np.ones((5, 3), np.int32) * i, np.ones(5, np.uint8)))
+        w.flush()
+        shards = sorted(tmp_path.glob("events_*.npz"))
+        assert len(shards) == 2
+        first = np.load(shards[0])
+        assert first["n_events"] == 2
+        np.testing.assert_array_equal(first["coords_1"],
+                                      np.ones((5, 3), np.int32))

@@ -1,0 +1,72 @@
+"""Pallas flash-attention kernel numerics vs the XLA reference, run through
+the Pallas interpreter on CPU (compiled Mosaic path exercised on TPU by
+bench/entry)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ieagan_tpu.ops.pallas.flash_attention import (
+    flash_attention, _xla_attention)
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.RandomState(seed).randn(*shape), jnp.float32)
+
+
+CASES = [
+    # (B, Lq, Lkv, dk, dv, scale)     — call-site shapes
+    (2, 40, 40, 64, 64, 0.125),       # RRM event attention (G, 2 heads)
+    (3, 64, 16, 16, 32, 1.0),         # SA-GAN-like, no scaling, kv padding
+    (1, 512, 128, 16, 64, 1.0),       # D image attention (scaled down)
+    (2, 24, 12, 8, 8, 0.5),           # ragged/padded everything
+]
+
+
+@pytest.mark.parametrize("b,lq,lkv,dk,dv,scale", CASES)
+def test_forward_matches_xla(b, lq, lkv, dk, dv, scale):
+    q, k, v = _rand((b, lq, dk), 0), _rand((b, lkv, dk), 1), _rand((b, lkv, dv), 2)
+    want = _xla_attention(q, k, v, scale)
+    got = flash_attention(q, k, v, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("b,lq,lkv,dk,dv,scale", CASES[:3])
+def test_gradients_match_xla(b, lq, lkv, dk, dv, scale):
+    q, k, v = _rand((b, lq, dk), 3), _rand((b, lkv, dk), 4), _rand((b, lkv, dv), 5)
+    w = _rand((b, lq, dv), 6)  # cotangent-shaping weights
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale) * w)
+
+    def loss_pal(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale=scale, interpret=True) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_multihead_leading_axes():
+    q, k, v = _rand((2, 4, 40, 16), 7), _rand((2, 4, 40, 16), 8), _rand((2, 4, 40, 16), 9)
+    want = _xla_attention(q, k, v, 0.25)
+    got = flash_attention(q, k, v, scale=0.25, interpret=True)
+    assert got.shape == (2, 4, 40, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bfloat16_inputs():
+    q, k, v = (_rand((2, 64, 16), 10).astype(jnp.bfloat16),
+               _rand((2, 16, 16), 11).astype(jnp.bfloat16),
+               _rand((2, 16, 32), 12).astype(jnp.bfloat16))
+    want = _xla_attention(q, k, v, 1.0)
+    got = flash_attention(q, k, v, scale=1.0, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
