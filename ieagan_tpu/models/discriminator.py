@@ -88,6 +88,7 @@ class Discriminator(nn.Module):
     hypersphere_dim: int = 1024
     nonlinear_embed: bool = False
     normalize_embed: bool = True
+    prior_embed: bool = False
     RRM_prx_D: bool = False
     RRM_embed: bool = True
     n_head_D: int = 4
@@ -157,8 +158,21 @@ class Discriminator(nn.Module):
             out = which_linear(self.output_dim, name="linear0")(
                 h, update_stats=update_stats)
             out = jnp.squeeze(out, axis=-1)
-            cls_proxy = which_embedding(self.n_classes, self.hypersphere_dim,
+            # prior_embed halves the proxy embedding and fuses a learned map
+            # of the physical prior feature (reference: model.py:827-834,
+            # 925-928).
+            proxy_dim = (self.hypersphere_dim // 2 if self.prior_embed
+                         else self.hypersphere_dim)
+            cls_proxy = which_embedding(self.n_classes, proxy_dim,
                                         name="embed")(y, update_stats=update_stats)
+            if self.prior_embed:
+                from ieagan_tpu.ops.prior import prior_features
+                prs = prior_features(y, self.n_classes).astype(cls_proxy.dtype)
+                feat = which_linear(self.hypersphere_dim // 2, name="linear3")(
+                    prs, update_stats=update_stats)
+                cls_proxy = which_linear(self.hypersphere_dim, name="linear4")(
+                    jnp.concatenate([cls_proxy, feat], axis=-1),
+                    update_stats=update_stats)
             if self.RRM_embed:
                 events = h.shape[0] // self.event_size
                 h_seq = h.reshape(events, self.event_size, top)

@@ -106,6 +106,7 @@ class Generator(nn.Module):
     attn_type: str = "sa"
     RRM_prx_G: bool = True
     normalized_proxy_G: bool = False
+    prior_embed: bool = False
     n_head_G: int = 2
     G_param: str = "SN"
     norm_style: str = "bn"
@@ -148,9 +149,23 @@ class Generator(nn.Module):
                                      eps=self.BN_eps, norm_style=self.norm_style,
                                      dtype=self.dtype)
 
-        # Non-SN shared embedding (reference: model.py:261-263).
-        y_emb = Embed(self.n_classes, shared_dim, dtype=self.dtype,
-                      name="shared")(y)
+        if self.prior_embed:
+            # Physical-prior conditioning (reference: model.py:284-292,
+            # 455-460): half-width shared embedding + a learned map of the
+            # per-sensor prior feature, fused by linear1.
+            from ieagan_tpu.ops.prior import prior_features
+            y_emb = Embed(self.n_classes, shared_dim // 2, dtype=self.dtype,
+                          name="shared")(y)
+            prs = prior_features(y, self.n_classes).astype(y_emb.dtype)
+            feat = which_linear(shared_dim // 2, name="linear0")(
+                prs, update_stats=update_stats)
+            y_emb = which_linear(shared_dim, name="linear1")(
+                jnp.concatenate([y_emb, feat], axis=-1),
+                update_stats=update_stats)
+        else:
+            # Non-SN shared embedding (reference: model.py:261-263).
+            y_emb = Embed(self.n_classes, shared_dim, dtype=self.dtype,
+                          name="shared")(y)
 
         if self.RRM_prx_G:
             # Per-image random degrees of freedom; the reference hardcodes

@@ -110,3 +110,38 @@ class TestTinyForward:
         assert bool(jnp.any(a != b))
         c = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(10)})
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_prior_embed_ablation_constructs_and_runs():
+    """PEGAN-style prior conditioning (reference: eval_all.py:59-62)."""
+    from ieagan_tpu.ops.prior import set_prior_features
+    import numpy as np
+    cfg = tiny_config(prior_embed=True)
+    set_prior_features(np.linspace(0.5, 1.5, cfg["n_classes"]))
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    B = cfg["n_classes"] * cfg["events_per_batch"]
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, cfg["dim_z"]))
+    y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+    gv = G.init({"params": jax.random.PRNGKey(1), "rdof": jax.random.PRNGKey(2)},
+                z, y, train=False)
+    imgs = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(3)})
+    dv = D.init({"params": jax.random.PRNGKey(4)}, imgs, y, train=False)
+    proxy, embed, out = D.apply(dv, imgs, y, train=False)
+    assert proxy.shape == (B, cfg["hypersphere_dim"])
+    assert "linear0" in gv["params"] and "linear1" in gv["params"]
+    assert "linear3" in dv["params"] and "linear4" in dv["params"]
+
+
+def test_contragan_ablation_no_rrm():
+    """ContraGAN ablation: no RRM on proxies, no rdof (eval_all.py:53-56)."""
+    cfg = tiny_config(RRM_prx_G=False, rdof_dim=0)
+    G = Generator.from_config(cfg)
+    B = cfg["n_classes"] * cfg["events_per_batch"]
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, cfg["dim_z"]))
+    y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+    gv = G.init({"params": jax.random.PRNGKey(1), "rdof": jax.random.PRNGKey(2)},
+                z, y, train=False)
+    assert "RR_G" not in gv["params"] and "linear_f" not in gv["params"]
+    imgs = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(3)})
+    assert imgs.shape[0] == B
