@@ -1,5 +1,6 @@
 from ieagan_tpu.eval.fid import (
     compute_fid, compute_fid_from_state, make_custom_stats, frechet_distance,
+    compute_kid, make_custom_kid_stats,
     kernel_distance, FeatureExtractor, fid_postprocess, trunc_trick,
     get_model_features, get_folder_features, make_generator_fn,
 )

@@ -222,6 +222,48 @@ def make_custom_stats(name: str, fdir: str, num=None, mode: str = "clean",
 
 # ----------------------------------------------------------- top-level API
 
+def make_custom_kid_stats(name: str, fdir: str, num=None, mode: str = "clean",
+                          batch_size: int = 64,
+                          extractor: FeatureExtractor | None = None,
+                          overwrite: bool = False) -> str:
+    """Mint raw-feature KID stats ("<name>_<mode>_custom_na_kid.npz",
+    reference: fid.py:402-407)."""
+    extractor = extractor or FeatureExtractor()
+    path = _stats_path(name, mode).replace(".npz", "_kid.npz")
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(f"statistics file {path} already exists")
+    feats = get_folder_features(fdir, extractor, num=num, batch_size=batch_size)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, feats=feats)
+    return path
+
+
+def compute_kid(gen_fn=None, fdir1=None, fdir2=None, *,
+                dataset_name: str = "pxd_sim_test_com", num_gen: int = 16000,
+                batch_size: int = 40, rng=None,
+                extractor: FeatureExtractor | None = None,
+                resize_on_device: bool = True, seed: int | None = 0):
+    """KID for a generator against stored raw features, or between folders
+    (the reference implements kernel_distance but never wires it into the
+    loop, fid.py:476-487 — here it is a first-class metric)."""
+    extractor = extractor or FeatureExtractor()
+    if fdir1 is not None and fdir2 is not None:
+        f1 = get_folder_features(fdir1, extractor, batch_size=batch_size)
+        f2 = get_folder_features(fdir2, extractor, batch_size=batch_size)
+        return kernel_distance(f1, f2, seed=seed)
+    path = _stats_path(dataset_name, "clean").replace(".npz", "_kid.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"KID reference features {path} not found; mint them with "
+            "make_custom_kid_stats")
+    ref_feats = np.load(path)["feats"]
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    feats = get_model_features(gen_fn, extractor, num_gen=num_gen,
+                               batch_size=batch_size, rng=rng,
+                               resize_on_device=resize_on_device)
+    return kernel_distance(feats, ref_feats, seed=seed)
+
+
 def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
                 dataset_name: str = "pxd_sim_test_com", num_gen: int = 16000,
                 batch_size: int = 40, rng=None,

@@ -124,6 +124,12 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
     n_classes = int(config["n_classes"])
     dim_z = int(config["dim_z"])
     z_var = float(config.get("z_var", 1.0))
+    # split_D=False runs one concatenated D pass. NOTE a documented deviation:
+    # the reference's concat mode feeds the mixed [fake; real] batch to the
+    # RRM as ONE 80-long sequence (model.py:918 h.unsqueeze(0)); here the RRM
+    # always operates per event (fake and real events as separate sequences),
+    # preserving the intra-event semantics in both modes.
+    split_D = bool(config["split_D"])
     num_D_steps = int(config["num_D_steps"])
     num_D_acc = int(config["num_D_accumulations"])
     num_G_acc = int(config["num_G_accumulations"])
@@ -182,8 +188,27 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
                         fake_in = diff_augment(kaug, fake)
                     else:
                         fake_in = fake
-                    (_, embed_f, score_f), d_ups = d_forward(p_D, state_D, fake_in, y)
-                    (proxy_r, embed_r, score_r), d_ups = d_forward(p_D, d_ups, x, y)
+                    if split_D:
+                        # Separate fake/real D passes (reference:
+                        # model.py:985-1010); SN u updates twice per step,
+                        # as upstream.
+                        (_, embed_f, score_f), d_ups = d_forward(
+                            p_D, state_D, fake_in, y)
+                        (proxy_r, embed_r, score_r), d_ups = d_forward(
+                            p_D, d_ups, x, y)
+                    else:
+                        # Concat mode (reference: model.py:1023-1086): one D
+                        # pass over [fake; real] — halves SN power-iteration
+                        # work and better fills the batch dimension.
+                        both, d_ups = d_forward(
+                            p_D, state_D,
+                            jnp.concatenate([fake_in, x], axis=0),
+                            jnp.concatenate([y, y], axis=0))
+                        proxy_all, embed_all, score_all = both
+                        nb = fake_in.shape[0]
+                        embed_f, embed_r = embed_all[:nb], embed_all[nb:]
+                        proxy_r = None if proxy_all is None else proxy_all[nb:]
+                        score_f, score_r = score_all[:nb], score_all[nb:]
                     loss_real, loss_fake = losses.loss_hinge_dis(score_f, score_r)
                     d_loss = loss_real + loss_fake
                     mets = {"D_loss_real": loss_real, "D_loss_fake": loss_fake}

@@ -189,3 +189,38 @@ class TestPhysicsStats:
         from ieagan_tpu.eval.physics import log_transform_inv
         assert log_transform_inv(np.array(1.0)) == pytest.approx(255.0)
         assert log_transform_inv(np.array(-1.0)) == pytest.approx(0.0)
+
+
+class TestKid:
+    def test_compute_kid_folder_and_gen(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(fid_mod, "STATS_DIR", str(tmp_path))
+        extractor = fid_mod.FeatureExtractor(seed=0)
+        es, h, w = 4, 32, 32
+
+        def gen_fn(key):
+            return jax.random.uniform(key, (es, h, w, 1), minval=-1.0, maxval=1.0)
+
+        feats_ref = fid_mod.get_model_features(
+            gen_fn, extractor, num_gen=24, batch_size=es,
+            rng=jax.random.PRNGKey(1))
+        np.savez_compressed(tmp_path / "selftest_clean_custom_na_kid.npz",
+                            feats=feats_ref)
+        kid_same = fid_mod.compute_kid(gen_fn, dataset_name="selftest",
+                                       num_gen=24, batch_size=es,
+                                       rng=jax.random.PRNGKey(2),
+                                       extractor=extractor, seed=0)
+
+        def gen_shifted(key):
+            return jnp.clip(gen_fn(key) + 0.9, -1, 1)
+
+        kid_shift = fid_mod.compute_kid(gen_shifted, dataset_name="selftest",
+                                        num_gen=24, batch_size=es,
+                                        rng=jax.random.PRNGKey(2),
+                                        extractor=extractor, seed=0)
+        assert np.isfinite(kid_same) and np.isfinite(kid_shift)
+        assert kid_shift > kid_same
+
+    def test_compute_kid_missing_stats(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(fid_mod, "STATS_DIR", str(tmp_path))
+        with pytest.raises(FileNotFoundError):
+            fid_mod.compute_kid(lambda k: None, dataset_name="nope")
