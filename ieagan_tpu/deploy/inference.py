@@ -54,6 +54,34 @@ class Model:
         self.params = params
         self.state = state if state is not None else {}
 
+    def _block_fn(self, events_per_call: int, chunks: int):
+        """Cached jitted block generator (see generate_block)."""
+        cache = self.__dict__.setdefault("_block_fns", {})
+        sig = (events_per_call, chunks)
+        if sig in cache:
+            return cache[sig]
+        es = self.event_size
+        dim_z = self.config["dim_z"]
+        batch = es * events_per_call
+        y = jnp.tile(jnp.arange(es, dtype=jnp.int32), events_per_call)
+        module = self.module
+
+        @jax.jit
+        def gen_many(params, state, key):
+            def body(carry, i):
+                k = jax.random.fold_in(key, i)
+                kz, kr = jax.random.split(k)
+                z = jax.random.normal(kz, (batch, dim_z), jnp.float32)
+                imgs = module.apply({"params": params, **state}, z, y,
+                                    train=False, rngs={"rdof": kr})
+                return carry, generate_postprocess(imgs.astype(jnp.float32))
+
+            _, out = jax.lax.scan(body, 0, jnp.arange(chunks))
+            return out.reshape(chunks * batch, *out.shape[2:])
+
+        cache[sig] = gen_many
+        return gen_many
+
     @functools.cached_property
     def _generate_fn(self):
         module, state_cols = self.module, self.state
@@ -65,6 +93,17 @@ class Model:
             return generate_postprocess(imgs, threshold=-0.26)
         del state_cols
         return fn
+
+
+def generate_block(model: Model, events_per_call: int, chunks: int,
+                   rng: jax.Array) -> jax.Array:
+    """Generate chunks*events_per_call events in ONE device dispatch via an
+    internal scan — on a network-attached chip, per-dispatch overhead is
+    large and dispatches with pending-device args serialize, so production
+    throughput comes from amortizing dispatches over big blocks.
+    Returns (chunks * events_per_call * event_size, 250, W)."""
+    fn = model._block_fn(events_per_call, chunks)
+    return fn(model.params, model.state, rng)
 
 
 def generate_batched(model: Model, events_per_call: int,

@@ -94,11 +94,13 @@ class EventProducer:
     """
 
     def __init__(self, model, num_events: int | None = None,
-                 events_per_call: int = 4, max_queue: int = 64, seed: int = 0):
-        from ieagan_tpu.deploy.inference import generate_batched
-        self._generate = lambda key: generate_batched(model, events_per_call, key)
+                 events_per_call: int = 4, max_queue: int = 64, seed: int = 0,
+                 chunks: int = 4):
+        from ieagan_tpu.deploy.inference import generate_block
+        self._generate = lambda key: generate_block(model, events_per_call,
+                                                    chunks, key)
         self.event_size = model.event_size
-        self.events_per_call = events_per_call
+        self.events_per_call = events_per_call * chunks
         self.num_events = num_events
         self.seed = seed
         self.queue: queue.Queue = queue.Queue(maxsize=max_queue)

@@ -63,8 +63,10 @@ def init_train_state(G, D, config, rng) -> TrainState:
                  int(config.get("events_per_batch", 1)))
     x = jnp.zeros((batch, int(config["resolution"]), _width(config), 1),
                   jnp.float32)
-    gv = G.init({"params": kG, "rdof": kr}, z, y, train=False)
-    dv = D.init({"params": kD}, x, y, train=False)
+    # jitted init: eager init dispatches thousands of ops — minutes on a
+    # network-attached TPU.
+    gv = jax.jit(lambda: G.init({"params": kG, "rdof": kr}, z, y, train=False))()
+    dv = jax.jit(lambda: D.init({"params": kD}, x, y, train=False))()
     params_G = gv["params"]
     state_G = {k: v for k, v in gv.items() if k != "params"}
     params_D = dv["params"]
