@@ -63,6 +63,27 @@ def _bn_core(mdl: nn.Module, x: jnp.ndarray, num_features: int, eps: float,
     return (xf - mean) * inv
 
 
+def group_norm(x, norm_style: str, eps: float = 1e-5):
+    """Un-parameterized group norm with the reference's style-string parsing
+    (reference: layers.py:603-614): 'ch_<n>' fixes channels/group,
+    'grp_<n>' fixes group count, default 16 groups."""
+    c = x.shape[-1]
+    if "ch" in norm_style:
+        groups = max(c // int(norm_style.split("_")[-1]), 1)
+    elif "grp" in norm_style:
+        groups = int(norm_style.split("_")[-1])
+    else:
+        groups = 16
+    xf = x.astype(jnp.float32)
+    shape = x.shape[:-1] + (groups, c // groups)
+    xg = xf.reshape(shape)
+    axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+    out = (xg - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    return out.reshape(x.shape)
+
+
 class ClassCondBatchNorm(nn.Module):
     """ccbn: shared BN statistics + per-sample (class-conditional) gain/bias
     produced by linear maps of the conditioning vector (reference:
@@ -86,6 +107,16 @@ class ClassCondBatchNorm(nn.Module):
         if self.norm_style == "bn":
             out = _bn_core(self, x, self.num_features, self.eps, self.momentum,
                            train, accumulate_standing)
+        elif self.norm_style == "in":
+            # instance norm: per-sample spatial moments (reference:
+            # layers.py:674-684)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+            out = (xf - mean) * jnp.reciprocal(jnp.sqrt(var + self.eps))
+        elif self.norm_style.startswith("gn") or "grp" in self.norm_style \
+                or "ch" in self.norm_style:
+            out = group_norm(x, self.norm_style, self.eps)
         elif self.norm_style == "nonorm":
             out = x.astype(jnp.float32)
         else:

@@ -182,3 +182,59 @@ class TestLosses:
         assert m.shape == (3, 4)
         np.testing.assert_array_equal(m[0], [1, 0, 0, 1])
         np.testing.assert_array_equal(m[2], [0, 1, 0, 0])
+
+
+class TestNormStyles:
+    def test_group_norm_styles(self):
+        import jax
+        from ieagan_tpu.ops.norm import group_norm
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 32), jnp.float32)
+        for style in ["gn", "grp_8", "ch_4"]:
+            out = group_norm(x, style)
+            assert out.shape == x.shape
+            # normalized within groups -> near-zero mean over (H, W, group)
+            assert abs(float(jnp.mean(out))) < 1e-5
+
+    def test_instance_norm_in_ccbn(self):
+        import jax
+        import flax.linen as nn_
+        from ieagan_tpu.ops.norm import ClassCondBatchNorm
+        from ieagan_tpu.ops.spectral import Dense
+        import functools
+        mod = ClassCondBatchNorm(8, functools.partial(Dense, use_bias=False),
+                                 norm_style="in")
+        x = jnp.asarray(np.random.RandomState(1).randn(3, 5, 5, 8), jnp.float32)
+        y = jnp.asarray(np.random.RandomState(2).randn(3, 4), jnp.float32)
+        v = mod.init(jax.random.PRNGKey(0), x, y, train=True)
+        out = mod.apply(v, x, y, train=True)
+        assert out.shape == x.shape
+
+
+class TestHostTransforms:
+    def test_crops(self):
+        from ieagan_tpu.data import CenterCropLongEdge, RandomCropLongEdge
+        img = np.arange(6 * 10).reshape(6, 10).astype(np.float32)
+        c = CenterCropLongEdge()(img)
+        assert c.shape == (6, 6)
+        r = RandomCropLongEdge(np.random.default_rng(0))(img)
+        assert r.shape == (6, 6)
+
+    def test_noises(self):
+        from ieagan_tpu.data import UniformNoise, GaussianNoise
+        x = np.zeros((4, 4), np.float32)
+        u = UniformNoise(0.1, np.random.default_rng(0))(x)
+        assert (u >= 0).all() and (u < 0.1).all() and u.any()
+        g = GaussianNoise(0.0, 1.0, np.random.default_rng(0))(x)
+        assert g.std() > 0.1
+
+    def test_balanced_sampler(self):
+        from ieagan_tpu.data import BalancedSampler
+        labels = np.repeat(np.arange(5), 20)
+        s = BalancedSampler(labels, n_classes=3, n_samples=4,
+                            rng=np.random.default_rng(0))
+        batches = list(s)
+        assert len(batches) == len(s)
+        for b in batches:
+            assert len(b) == 12
+            cls, counts = np.unique(labels[b], return_counts=True)
+            assert len(cls) == 3 and (counts == 4).all()
