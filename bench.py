@@ -40,7 +40,7 @@ def main():
     config = dict(DEFAULT_CONFIG)
     es = int(config["n_classes"])
     dim_z = int(config["dim_z"])
-    events_per_call = int(os.environ.get("BENCH_EVENTS_PER_CALL", "4"))
+    events_per_call = int(os.environ.get("BENCH_EVENTS_PER_CALL", "8"))
     n_timed_calls = int(os.environ.get("BENCH_CALLS", "12"))
 
     G = Generator.from_config(config, dtype=jnp.bfloat16)
@@ -58,7 +58,7 @@ def main():
     # per-dispatch overhead (large on a network-attached chip, and dispatches
     # with pending-device arguments serialize on the tunnel) amortizes over
     # chunks*events_per_call events. Keys are folded on device.
-    chunks = int(os.environ.get("BENCH_CHUNKS", "16"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "8"))
 
     @jax.jit
     def gen_many(variables, key):

@@ -72,3 +72,61 @@ def test_refuses_existing_run_dir(finished_run):
     cfg2 = dict(cfg, resume=False)
     with pytest.raises(RuntimeError):
         initialize_directories(cfg2)
+
+
+def test_fid_hook_end_to_end(tmp_path, monkeypatch):
+    """The driver's FID test hook against freshly minted tiny-model stats
+    (reference: train_fns.test, 209-233)."""
+    import numpy as np
+    from ieagan_tpu.eval import fid as fid_mod
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state
+    from ieagan_tpu.train.driver import run_test
+    from ieagan_tpu.utils import MetricsLogger
+
+    monkeypatch.setattr(fid_mod, "STATS_DIR", str(tmp_path / "stats"))
+    cfg = tiny_config(outputroot=str(tmp_path), run_name="fidrun",
+                      num_incep_images=8, fid_dataset_name="tinyfid",
+                      compute_dtype="float32")
+    (tmp_path / "fidrun" / "logs").mkdir(parents=True)
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+
+    # mint reference stats from this very generator -> FID should be small
+    from ieagan_tpu.eval.fid import (make_generator_fn, get_model_features,
+                                     FeatureExtractor)
+    extractor = FeatureExtractor(seed=0)
+    gen = make_generator_fn(G, state.params_G_ema, state.state_G_ema, cfg)
+    feats = get_model_features(gen, extractor, num_gen=8,
+                               batch_size=cfg["n_classes"] * cfg["events_per_batch"],
+                               rng=jax.random.PRNGKey(9))
+    (tmp_path / "stats").mkdir()
+    np.savez_compressed(tmp_path / "stats" / "tinyfid_clean_custom_na.npz",
+                        mu=feats.mean(0), sigma=np.cov(feats, rowvar=False))
+
+    state_dict = {"itr": 5, "best_FID": 999999.0, "save_best_num": 0}
+    mlog = MetricsLogger(cfg)
+    run_test(G, state, state_dict, cfg, mlog)
+    assert state_dict["best_FID"] < 999999.0
+    from ieagan_tpu.utils import read_jsonl
+    recs = read_jsonl(tmp_path / "fidrun" / "logs" / "metric_log.jsonl")
+    assert recs and "FID" in recs[-1]
+
+
+def test_missing_stats_skips_gracefully(tmp_path, monkeypatch, capsys):
+    from ieagan_tpu.eval import fid as fid_mod
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state
+    from ieagan_tpu.train.driver import run_test
+    from ieagan_tpu.utils import MetricsLogger
+    monkeypatch.setattr(fid_mod, "STATS_DIR", str(tmp_path / "nostats"))
+    cfg = tiny_config(outputroot=str(tmp_path), run_name="fidrun2",
+                      compute_dtype="float32")
+    (tmp_path / "fidrun2" / "logs").mkdir(parents=True)
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+    state_dict = {"itr": 1, "best_FID": 999999.0, "save_best_num": 0}
+    run_test(G, state, state_dict, cfg, MetricsLogger(cfg))
+    assert state_dict["best_FID"] == 999999.0  # unchanged, no crash
