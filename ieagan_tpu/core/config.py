@@ -158,6 +158,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "compute_dtype": "bfloat16",
     # Use Pallas fused-attention kernels on TPU (falls back to XLA on CPU).
     "use_pallas_attention": True,
+    # Rematerialize G/D blocks in the backward pass (jax.checkpoint):
+    # ~30% more FLOPs for O(depth) activation memory — enables larger
+    # events_per_batch per chip.
+    "remat": False,
     # Reference quirk §2.4.1: G.optim.step() was gated on clip_norm; we step
     # G unconditionally. Set True to reproduce the reference bug exactly.
     "replicate_G_step_bug": False,

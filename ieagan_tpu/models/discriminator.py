@@ -95,6 +95,7 @@ class Discriminator(nn.Module):
     event_size: int = 40
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     @classmethod
     def from_config(cls, config: dict, dtype=None) -> "Discriminator":
@@ -106,6 +107,7 @@ class Discriminator(nn.Module):
         if dtype is not None:
             kwargs["dtype"] = dtype
         kwargs["use_pallas"] = bool(config.get("use_pallas_attention", False))
+        kwargs["remat"] = bool(config.get("remat", False))
         return cls(**kwargs)
 
     @nn.compact
@@ -125,16 +127,18 @@ class Discriminator(nn.Module):
         h = which_conv(arch["in_channels"][0], kernel_size=(3, 3),
                        name="input_conv")(x.astype(self.dtype),
                                           update_stats=update_stats)
+        block_cls = (nn.remat(DBlock, static_argnums=(2,))
+                     if self.remat else DBlock)
         for index in range(len(arch["out_channels"])):
             for d_index in range(self.D_depth):
-                h = DBlock(
+                h = block_cls(
                     in_channels=(arch["in_channels"][index] if d_index == 0
                                  else arch["out_channels"][index]),
                     out_channels=arch["out_channels"][index],
                     which_conv=which_conv, activation=act,
                     preactivation=(index > 0 or d_index > 0),
                     downsample=(arch["downsample"][index] and d_index == 0),
-                    name=f"blocks_{index}_{d_index}")(h, update_stats=update_stats)
+                    name=f"blocks_{index}_{d_index}")(h, update_stats)
             if arch["attention"][arch["resolution"][index]]:
                 ch_out = arch["out_channels"][index]
                 if self.attn_type == "sa":

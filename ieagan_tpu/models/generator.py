@@ -113,6 +113,7 @@ class Generator(nn.Module):
     event_size: int = 40
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    remat: bool = False
 
     @classmethod
     def from_config(cls, config: dict, dtype=None) -> "Generator":
@@ -122,6 +123,7 @@ class Generator(nn.Module):
         if dtype is not None:
             kwargs["dtype"] = dtype
         kwargs["use_pallas"] = bool(config.get("use_pallas_attention", False))
+        kwargs["remat"] = bool(config.get("remat", False))
         return cls(**kwargs)
 
     @nn.compact
@@ -203,18 +205,22 @@ class Generator(nn.Module):
                       self.bottom_width * self.H_base)
         h = h.transpose(0, 2, 3, 1)
 
-        blk_kw = dict(train=train, update_stats=update_stats,
-                      accumulate_standing=accumulate_standing)
+        # remat: recompute block activations in the backward pass — trades
+        # ~30% FLOPs for O(depth) activation memory, the jax.checkpoint
+        # pattern for training more events per chip.
+        block_cls = (nn.remat(GBlock, static_argnums=(3, 4, 5))
+                     if self.remat else GBlock)
+        blk_args = (train, update_stats, accumulate_standing)
         for index in range(len(arch["out_channels"])):
             for g_index in range(self.G_depth):
-                h = GBlock(
+                h = block_cls(
                     in_channels=arch["in_channels"][index],
                     out_channels=(arch["in_channels"][index] if g_index == 0
                                   else arch["out_channels"][index]),
                     which_conv=which_conv, which_bn=which_bn, activation=act,
                     upsample=(arch["upsample"][index]
                               and g_index == self.G_depth - 1),
-                    name=f"blocks_{index}_{g_index}")(h, cond, **blk_kw)
+                    name=f"blocks_{index}_{g_index}")(h, cond, *blk_args)
             if arch["attention"][arch["resolution"][index]]:
                 ch_out = arch["out_channels"][index]
                 if self.attn_type == "sa":
