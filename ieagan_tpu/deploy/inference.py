@@ -84,14 +84,13 @@ class Model:
 
     @functools.cached_property
     def _generate_fn(self):
-        module, state_cols = self.module, self.state
+        module = self.module
 
         @jax.jit
         def fn(params, state, z, y, rng):
             imgs = module.apply({"params": params, **state}, z, y, train=False,
                                 rngs={"rdof": rng})
             return generate_postprocess(imgs, threshold=-0.26)
-        del state_cols
         return fn
 
 

@@ -114,12 +114,29 @@ def run(config: dict):
         loader_factory = lambda: loader
         steps_per_epoch = len(loader)
 
+    # Multi-chip: shard events over the data axis of a mesh; the same fused
+    # step compiles with XLA collectives for the gradient/BN reductions.
+    mesh = None
+    if device_count > 1 and int(config.get("events_per_batch", 1)) >= device_count:
+        from ieagan_tpu.core.mesh import make_mesh
+        from ieagan_tpu.parallel.sharding import place_state, batch_shardings
+        mesh = make_mesh(n_data=device_count)
+        state = place_state(state, mesh)
+        batch_sh = batch_shardings(mesh)
+        print(f"mesh: {dict(mesh.shape)}")
     train_step = jax.jit(make_train_step(G, D, config, steps_per_epoch),
                          donate_argnums=(0,))
 
     itr = int(state.itr)
     t_start = time.time()
+    t_last_log = t_start
     stop_after = int(config.get("stop_after", 10 ** 9))
+    # Profiling hooks (reference has none — SURVEY.md §5; here jax.profiler
+    # traces are a config switch: trace_dir + trace_start/trace_steps).
+    trace_dir = config.get("trace_dir")
+    trace_start = int(config.get("trace_start", 10))
+    trace_steps = int(config.get("trace_steps", 5))
+    tracing = False
     for epoch in range(state_dict.get("epoch", 0), int(config["num_epochs"])):
         for x, y in loader_factory():
             itr += 1
@@ -127,14 +144,29 @@ def run(config: dict):
             rng, k_step = jax.random.split(rng)
             x = jnp.asarray(x)
             y = jnp.asarray(y)
+            if mesh is not None:
+                x = jax.device_put(x, batch_sh)
+                y = jax.device_put(y, batch_sh)
+            if trace_dir and itr == trace_start:
+                jax.profiler.start_trace(str(trace_dir))
+                tracing = True
             state, metrics = train_step(state, x, y, k_step)
+            if tracing and itr >= trace_start + trace_steps:
+                jax.block_until_ready(state.params_G)
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"profiler trace written to {trace_dir}")
 
             if itr % int(config["log_interval"]) == 0:
+                jax.block_until_ready(metrics)
+                now = time.time()
                 metrics_host = {k: float(v) for k, v in metrics.items()}
-                elapsed = time.time() - t_start
-                print(f"itr {itr} ({elapsed:.1f}s): " + ", ".join(
-                    f"{k}={v:.4f}" for k, v in metrics_host.items()))
-                train_log.log(itr, **metrics_host)
+                sec_per_itr = (now - t_last_log) / int(config["log_interval"])
+                t_last_log = now
+                print(f"itr {itr} ({now - t_start:.1f}s, "
+                      f"{sec_per_itr:.3f}s/itr): " + ", ".join(
+                          f"{k}={v:.4f}" for k, v in metrics_host.items()))
+                train_log.log(itr, sec_per_itr=sec_per_itr, **metrics_host)
 
             if itr % int(config["sv_log_interval"]) == 0:
                 svs = {}
