@@ -1,0 +1,93 @@
+"""Data pipeline tests against a real on-disk PNG event tree
+(reference layout: utils/dataloader.py:14-53, README.md:14-27)."""
+
+import numpy as np
+import pytest
+
+from ieagan_tpu.data import ImageEventsDataset, EventLoader, load_dataset
+
+
+@pytest.fixture(scope="module")
+def png_tree(tmp_path_factory):
+    from PIL import Image
+    root = tmp_path_factory.mktemp("pxd")
+    rng = np.random.RandomState(0)
+    sensors = ["1.1.1", "1.1.2", "1.2.1", "1.2.2"]
+    n_events = 6
+    for s in sensors:
+        (root / s).mkdir()
+        for e in range(n_events):
+            img = (rng.rand(250, 96) * 50).astype(np.uint8)
+            Image.fromarray(img, mode="L").save(root / s / f"event_{e:03d}.png")
+    return root, sensors, n_events
+
+
+class TestDataset:
+    def test_layout_discovery(self, png_tree):
+        root, sensors, n_events = png_tree
+        ds = ImageEventsDataset(str(root))
+        assert len(ds) == n_events
+        assert ds.n_sensors == len(sensors)
+        assert ds.subdirs == sorted(sensors)
+
+    def test_item_contract(self, png_tree):
+        root, sensors, n_events = png_tree
+        ds = ImageEventsDataset(str(root), seed=0)
+        imgs, labels = ds[0]
+        # padded 250 -> 256 rows, single channel, [-1, 1]
+        assert imgs.shape == (len(sensors), 256, 96, 1)
+        assert imgs.dtype == np.float32
+        np.testing.assert_array_equal(labels, np.arange(len(sensors)))
+        assert imgs.min() >= -1.0 and imgs.max() <= 1.0 + 4e-3
+        # padding rows map to the normalized zero level + noise (~ -1)
+        assert float(imgs[:, :3].max()) < -0.97
+
+    def test_transform_round_trip(self, png_tree):
+        from ieagan_tpu.eval.physics import log_transform_inv
+        root, *_ = png_tree
+        ds = ImageEventsDataset(str(root), noise_scale=0.0)
+        imgs, _ = ds[1]
+        from PIL import Image
+        raw = np.asarray(Image.open(
+            root / ds.subdirs[0] / ds.filenames[1]).convert("L"), np.float32)
+        adu = log_transform_inv(imgs[0, 3:-3, :, 0])
+        np.testing.assert_allclose(adu, raw, atol=0.02)
+
+    def test_noise_determinism_per_seed(self, png_tree):
+        root, *_ = png_tree
+        a = ImageEventsDataset(str(root), seed=7)[0][0]
+        b = ImageEventsDataset(str(root), seed=7)[0][0]
+        c = ImageEventsDataset(str(root), seed=8)[0][0]
+        np.testing.assert_array_equal(a, b)
+        assert (a != c).any()
+
+
+class TestLoader:
+    def test_loader_batches(self, png_tree):
+        root, sensors, n_events = png_tree
+        loader = load_dataset(str(root), num_workers=2, shuffle=True, seed=0,
+                              events_per_batch=2)
+        batches = list(loader)
+        assert len(batches) == n_events // 2 == len(loader)
+        imgs, labels = batches[0]
+        assert imgs.shape == (2 * len(sensors), 256, 96, 1)
+        np.testing.assert_array_equal(labels,
+                                      np.tile(np.arange(len(sensors)), 2))
+
+    def test_shuffle_changes_epoch_order(self, png_tree):
+        root, *_ = png_tree
+        ds = ImageEventsDataset(str(root), noise_scale=0.0)
+        loader = EventLoader(ds, num_workers=1, shuffle=True, seed=3,
+                             events_per_batch=1)
+        e1 = [imgs.sum() for imgs, _ in loader]
+        e2 = [imgs.sum() for imgs, _ in loader]
+        assert sorted(np.round(e1, 3).tolist()) == sorted(np.round(e2, 3).tolist())
+        assert e1 != e2  # different epoch order
+
+    def test_loader_prefetch_does_not_hang_on_break(self, png_tree):
+        root, *_ = png_tree
+        ds = ImageEventsDataset(str(root))
+        loader = EventLoader(ds, num_workers=2, events_per_batch=1, prefetch=1)
+        for i, _ in enumerate(loader):
+            if i == 1:
+                break  # generator close must not deadlock the producer
