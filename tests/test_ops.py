@@ -238,3 +238,70 @@ class TestHostTransforms:
             assert len(b) == 12
             cls, counts = np.unique(labels[b], return_counts=True)
             assert len(cls) == 3 and (counts == 4).all()
+
+
+class TestMoreLosses:
+    def test_contra_plus_formula(self):
+        rng = np.random.RandomState(5)
+        b, d, ncls = 6, 8, 6
+        embed = rng.randn(b, d).astype(np.float32)
+        proxy = rng.randn(b, d).astype(np.float32)
+        labels = np.arange(b) % 3
+        t = 1.0
+
+        def cos(a, bb):
+            a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+            bb = bb / np.linalg.norm(bb, axis=-1, keepdims=True)
+            return a @ bb.T
+
+        p2i = np.exp(cos(proxy, embed) / t)
+        i2i = np.exp(cos(embed, embed) / t)
+        mask = (labels[:, None] == labels[None, :]).astype(np.float32)
+        want = (-np.mean(np.log(t * (p2i * mask).sum(1) / p2i.sum(1)))
+                - np.mean(np.log(t * (i2i * mask).sum(1) / i2i.sum(1))))
+        got = float(losses.conditional_contrastive_loss_plus(
+            jnp.asarray(embed), jnp.asarray(proxy),
+            losses.make_mask(jnp.asarray(labels), ncls),
+            jnp.asarray(labels), t, 0.0))
+        assert got == pytest.approx(float(want), rel=1e-5)
+
+    def test_gradient_penalty_runs(self):
+        from tests.helpers import tiny_config
+        from ieagan_tpu.models import Discriminator
+        cfg = tiny_config()
+        D = Discriminator.from_config(cfg)
+        B = cfg["n_classes"] * cfg["events_per_batch"]
+        shape = (B, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1)
+        real = jax.random.uniform(jax.random.PRNGKey(0), shape, minval=-1, maxval=1)
+        fake = jax.random.uniform(jax.random.PRNGKey(1), shape, minval=-1, maxval=1)
+        y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+        dv = D.init({"params": jax.random.PRNGKey(2)}, real, y, train=False)
+        gp = losses.gradient_penalty(
+            lambda v, xx, yy: D.apply(v, xx, yy, train=False),
+            dv, real, fake, y, jax.random.PRNGKey(3))
+        assert np.isfinite(float(gp)) and float(gp) >= 0.0
+
+
+class TestEmaGating:
+    def test_decay_zero_before_start(self):
+        """Before ema_start the EMA pegs to the source params
+        (reference: utils/__init__.py:825-831)."""
+        from tests.helpers import tiny_config
+        from ieagan_tpu.models import Generator, Discriminator
+        from ieagan_tpu.train import init_train_state, make_train_step
+        cfg = tiny_config(ema_start=1000, compute_dtype="float32")
+        G = Generator.from_config(cfg)
+        D = Discriminator.from_config(cfg)
+        state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(G, D, cfg))
+        B = cfg["n_classes"] * cfg["events_per_batch"]
+        x = jax.random.uniform(jax.random.PRNGKey(1),
+                               (B, cfg["resolution"],
+                                cfg["resolution"] * cfg["H_base"], 1),
+                               minval=-1, maxval=1)
+        y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+        s1, _ = step(state, x, y, jax.random.PRNGKey(2))
+        # itr=1 < ema_start -> ema == params exactly
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params_G_ema),
+                        jax.tree_util.tree_leaves(s1.params_G)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
