@@ -158,6 +158,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "compute_dtype": "bfloat16",
     # Use Pallas fused-attention kernels on TPU (falls back to XLA on CPU).
     "use_pallas_attention": True,
+    # Synthetic-data batches per epoch for the --debug path.
+    "debug_batches": 8,
+    # jax.profiler trace hooks (reference has no tracing story).
+    "trace_dir": None,
+    "trace_start": 10,
+    "trace_steps": 5,
+    # FID dataset-stats name (reference hardcodes pxd_sim_test_com).
+    "fid_dataset_name": "pxd_sim_test_com",
     # Rematerialize G/D blocks in the backward pass (jax.checkpoint):
     # ~30% more FLOPs for O(depth) activation memory — enables larger
     # events_per_batch per chip.

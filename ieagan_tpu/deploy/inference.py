@@ -54,6 +54,34 @@ class Model:
         self.params = params
         self.state = state if state is not None else {}
 
+    @classmethod
+    def restore(cls, weights_path: str, config: dict | None = None,
+                use_ema: bool = True, dtype: Any = jnp.float32) -> "Model":
+        """Load a Model from a checkpoint: a weights dir (picks
+        G_ema/G + latest copy tag) or a single G*.msgpack file."""
+        import os
+        from flax import serialization
+        model = cls(config=config, dtype=dtype)
+        path = weights_path
+        if os.path.isdir(path):
+            from ieagan_tpu.utils.checkpoint import latest_checkpoint
+            tag = latest_checkpoint(path)
+            names = (["G_ema", "G"] if use_ema else ["G"])
+            for base in names:
+                cand = os.path.join(
+                    path, f"{base}_{tag}.msgpack" if tag else f"{base}.msgpack")
+                if os.path.exists(cand):
+                    path = cand
+                    break
+            else:
+                raise FileNotFoundError(
+                    f"no generator checkpoint under {weights_path}")
+        with open(path, "rb") as fp:
+            tree = serialization.from_bytes(
+                {"params": model.params, "state": model.state}, fp.read())
+        model.params, model.state = tree["params"], tree["state"]
+        return model
+
     def _block_fn(self, events_per_call: int, chunks: int):
         """Cached jitted block generator (see generate_block)."""
         cache = self.__dict__.setdefault("_block_fns", {})

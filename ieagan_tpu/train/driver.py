@@ -98,12 +98,26 @@ def run(config: dict):
 
     # Data
     if config.get("debug") or not config.get("dataroot"):
-        from ieagan_tpu.data.pipeline import synthetic_events
         print("debug/synthetic data path")
-        def loader_factory():
-            return synthetic_events(config, n_batches=int(
-                config.get("debug_batches", 8)), seed=int(config["seed"]))
         steps_per_epoch = int(config.get("debug_batches", 8))
+        # Synthetic batches are generated ON DEVICE and cycled: uploading
+        # fresh host batches costs a full host->device transfer per step
+        # (ruinous over a network-attached chip); the real data path overlaps
+        # transfers in the loader's producer thread instead.
+        es_dbg = event_size(config)
+        h_dbg = int(config["resolution"])
+        w_dbg = h_dbg * int(config["H_base"])
+        n_distinct = min(steps_per_epoch, 4)
+        make_batch = jax.jit(lambda k: jax.random.uniform(
+            k, (es_dbg * epb, h_dbg, w_dbg, 1), jnp.float32, -1.0, 1.0))
+        dbg_batches = [
+            (make_batch(jax.random.PRNGKey(int(config["seed"]) + i)),
+             jnp.tile(jnp.arange(es_dbg, dtype=jnp.int32), epb))
+            for i in range(n_distinct)]
+
+        def loader_factory():
+            for i in range(steps_per_epoch):
+                yield dbg_batches[i % n_distinct]
     else:
         from ieagan_tpu.data import load_dataset
         loader = load_dataset(config["dataroot"],

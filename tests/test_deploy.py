@@ -63,3 +63,22 @@ class TestProducer:
         assert first["n_events"] == 2
         np.testing.assert_array_equal(first["coords_1"],
                                       np.ones((5, 3), np.int32))
+
+
+def test_model_restore_from_checkpoint_dir(tmp_path):
+    """Model.restore picks the EMA generator from a driver checkpoint dir."""
+    import jax
+    from flax import serialization
+    from ieagan_tpu.deploy import Model
+    cfg = dict(resolution=32, n_classes=4, H_base=1, G_ch=4, G_depth=1,
+               G_attn="0", use_pallas_attention=False)
+    src = Model(config=cfg, seed=1)
+    # write it as the driver would (G_ema component, copy tag)
+    tree = {"params": src.params, "state": src.state}
+    (tmp_path / "G_ema_copy7.msgpack").write_bytes(serialization.to_bytes(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), tree)))
+    (tmp_path / "state_dict_copy7.json").write_text('{"itr": 7}')
+    restored = Model.restore(str(tmp_path), config=cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(src.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
