@@ -166,6 +166,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "trace_steps": 5,
     # FID dataset-stats name (reference hardcodes pxd_sim_test_com).
     "fid_dataset_name": "pxd_sim_test_com",
+    # On-device scan chunks per FID generation dispatch.
+    "fid_gen_chunks": 8,
+    # Rows per class in the per-checkpoint sample sheet (0 disables).
+    "samples_per_class_sheet": 4,
     # Rematerialize G/D blocks in the backward pass (jax.checkpoint):
     # ~30% more FLOPs for O(depth) activation memory — enables larger
     # events_per_batch per chip.

@@ -144,22 +144,28 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
                        batch_size: int, rng, resize_on_device: bool = True):
     """Collect features from a generator callable.
 
-    gen_fn(key) -> (batch_size, H, W, 1) images in [-1, 1] (one event batch,
-    permuted labels inside — reference: fid.py:673-687).
+    gen_fn(key) -> (N, H, W, 1) images in [-1, 1] with permuted labels
+    inside (reference: fid.py:673-687). N may exceed batch_size (chunked
+    generators amortize device dispatches — see make_generator_fn).
     """
-    num_iters = int(np.ceil(num_gen / batch_size))
+    del batch_size  # sizing comes from gen_fn's output
     feats = []
+    total = 0
     post = jax.jit(fid_postprocess)
     resize = jax.jit(jax_resize_single_channel) if resize_on_device else None
-    for _ in range(num_iters):
-        rng, sub = jax.random.split(rng)
-        imgs = gen_fn(sub)
+    keys = jax.random.split(rng, 4096)
+    i = 0
+    while total < num_gen:
+        imgs = gen_fn(keys[i])
+        i += 1
         imgs01 = post(imgs)
         if resize_on_device:
             batch299 = resize(imgs01)
         else:
             batch299 = pil_resize_batch(np.asarray(imgs01))
-        feats.append(extractor(batch299))
+        f = extractor(batch299)
+        feats.append(f)
+        total += f.shape[0]
     return np.concatenate(feats)[:num_gen]
 
 
@@ -291,15 +297,17 @@ def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
     return (fid, feats) if return_features else fid
 
 
-def make_generator_fn(G, params, state, config, trunc: float | None = None):
-    """Build gen_fn(key) -> one event batch with permuted labels
-    (reference: fid.py:670-680)."""
+def make_generator_fn(G, params, state, config, trunc: float | None = None,
+                      chunks: int = 1):
+    """Build gen_fn(key) -> chunks event batches with permuted labels
+    (reference: fid.py:670-680). chunks>1 scans on device — one dispatch
+    per chunks*events batches (dispatch amortization for network-attached
+    chips; see docs/DESIGN.md)."""
     es = int(config["n_classes"])
     epb = int(config.get("events_per_batch", 1))
     dim_z = int(config["dim_z"])
 
-    @jax.jit
-    def gen(key):
+    def one_batch(key):
         kz, ky, kr = jax.random.split(key, 3)
         if trunc is not None:
             z = trunc_trick(kz, (es * epb, dim_z), bound=trunc)
@@ -311,7 +319,17 @@ def make_generator_fn(G, params, state, config, trunc: float | None = None):
         return G.apply({"params": params, **state}, z, y, train=False,
                        rngs={"rdof": kr})
 
-    return gen
+    if chunks == 1:
+        return jax.jit(one_batch)
+
+    @jax.jit
+    def gen_many(key):
+        def body(carry, i):
+            return carry, one_batch(jax.random.fold_in(key, i))
+        _, out = jax.lax.scan(body, 0, jnp.arange(chunks))
+        return out.reshape(chunks * es * epb, *out.shape[2:])
+
+    return gen_many
 
 
 def compute_fid_from_state(G, train_state, config):
@@ -320,7 +338,8 @@ def compute_fid_from_state(G, train_state, config):
     use_ema = bool(config.get("ema")) and bool(config.get("use_ema"))
     params = train_state.params_G_ema if use_ema else train_state.params_G
     state = train_state.state_G_ema if use_ema else train_state.state_G
-    gen = make_generator_fn(G, params, state, config, trunc=None)
+    gen = make_generator_fn(G, params, state, config, trunc=None,
+                            chunks=int(config.get("fid_gen_chunks", 8)))
     return compute_fid(
         gen, dataset_name=config.get("fid_dataset_name", "pxd_sim_test_com"),
         num_gen=int(config.get("num_incep_images", 16000)),

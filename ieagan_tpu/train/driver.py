@@ -125,6 +125,9 @@ def run(config: dict):
                               shuffle=bool(config["shuffle"]),
                               seed=int(config["seed"]),
                               events_per_batch=epb)
+        # device_put in the loader's producer thread overlaps the
+        # host->device upload with the previous step's compute.
+        loader.sharding = jax.devices()[0] if device_count == 1 else None
         loader_factory = lambda: loader
         steps_per_epoch = len(loader)
 
@@ -137,6 +140,8 @@ def run(config: dict):
         mesh = make_mesh(n_data=device_count)
         state = place_state(state, mesh)
         batch_sh = batch_shardings(mesh)
+        if not config.get("debug") and config.get("dataroot"):
+            loader.sharding = batch_sh  # loader thread shards the upload
         print(f"mesh: {dict(mesh.shape)}")
     train_step = jax.jit(make_train_step(G, D, config, steps_per_epoch),
                          donate_argnums=(0,))
@@ -233,6 +238,19 @@ def save_and_sample(G, state, state_dict, config, runpath):
         rngs={"rdof": jax.random.PRNGKey(0)}))(params, gstate)
     save_event_grid(np.asarray(imgs.astype(jnp.float32)),
                     runpath / "samples" / f"fixed_samples{itr}.jpg")
+    # per-class sample sheet (reference: utils/__init__.py:419-476 saves
+    # classes x samples sheets each checkpoint)
+    if int(config.get("samples_per_class_sheet", 4)) > 0:
+        from ieagan_tpu.utils.sampling import sample_sheet
+        from ieagan_tpu.utils.plot import plot_imgs
+        sheets = sample_sheet(G, params, gstate, config,
+                              jax.random.PRNGKey(itr),
+                              samples_per_class=int(
+                                  config.get("samples_per_class_sheet", 4)))
+        # one strip per class: (samples, H-6, W) tiled rows
+        plot_imgs(sheets.reshape(-1, *sheets.shape[2:]),
+                  runpath / "samples" / f"sample_sheet{itr}.jpg",
+                  ncol=sheets.shape[1])
     # proxy / G-embedding cosine-similarity heatmaps
     # (reference: train.py:196-229, utils/plot.py:29-70)
     try:
