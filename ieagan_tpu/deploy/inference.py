@@ -23,9 +23,11 @@ from ieagan_tpu.core.config import DEFAULT_CONFIG
 from ieagan_tpu.models.generator import Generator
 from ieagan_tpu.ops.image_norm import generate_postprocess
 
-# Frozen deployment configuration (reference: ieagan.py:24-152 — the training
-# config with prior_embed off and inference-only paths).
-FROZEN_CONFIG = dict(DEFAULT_CONFIG)
+# Frozen deployment configuration (reference: ieagan.py:24-152). The
+# deployment copy differs from the training config.json in a few
+# inference-only fields (seed 415, D_attn "0" — no discriminator ships).
+FROZEN_CONFIG = dict(DEFAULT_CONFIG, seed=415, D_attn="0",
+                     model="BigGAN_deep")
 
 
 class Model:

@@ -91,3 +91,23 @@ class TestLoader:
         for i, _ in enumerate(loader):
             if i == 1:
                 break  # generator close must not deadlock the producer
+
+
+def test_make_synthetic_dataset_script(tmp_path):
+    """The synthetic-dataset minting script produces a loadable event tree."""
+    import subprocess, sys, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "syn"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "make_synthetic_dataset.py"),
+         str(out), "--events", "3", "--sensors", "4", "--height", "26",
+         "--width", "32", "--seed", "0"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    ds = ImageEventsDataset(str(out))
+    assert len(ds) == 3 and ds.n_sensors == 4
+    imgs, labels = ds[0]
+    assert imgs.shape == (4, 32, 32, 1)  # 26 + 3+3 padding
+    # the 7-ADU cut leaves a genuinely sparse image
+    raw_occ = float((imgs > -0.9).mean())
+    assert 0.0 < raw_occ < 0.5
