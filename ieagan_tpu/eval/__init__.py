@@ -3,6 +3,7 @@ from ieagan_tpu.eval.fid import (
     compute_kid, make_custom_kid_stats,
     kernel_distance, FeatureExtractor, fid_postprocess, trunc_trick,
     get_model_features, get_folder_features, make_generator_fn,
+    get_reference_statistics,
 )
 from ieagan_tpu.eval.physics import (
     get_stats, generate_event_stream, real_event_stream, compare_models,

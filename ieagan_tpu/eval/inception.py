@@ -42,8 +42,13 @@ class BasicConv2d(nn.Module):
         pad = self.padding
         if isinstance(pad, tuple):
             pad = [(pad[0], pad[0]), (pad[1], pad[1])]
+        # He init so the *random-init fallback* extractor keeps activation
+        # variance through the 17-layer relu stack (lecun init collapses the
+        # pooled features to near-constants, making fallback FID blind);
+        # converted torch weights overwrite this.
         x = nn.Conv(self.features, tuple(self.kernel_size),
                     strides=tuple(self.strides), padding=pad, use_bias=False,
+                    kernel_init=nn.initializers.he_normal(),
                     dtype=self.dtype, name="conv")(x)
         # Inference-only BN: scale/bias/mean/var all converted weights.
         scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
