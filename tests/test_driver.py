@@ -130,3 +130,28 @@ def test_missing_stats_skips_gracefully(tmp_path, monkeypatch, capsys):
     state_dict = {"itr": 1, "best_FID": 999999.0, "save_best_num": 0}
     run_test(G, state, state_dict, cfg, MetricsLogger(cfg))
     assert state_dict["best_FID"] == 999999.0  # unchanged, no crash
+
+
+def test_cli_merge_precedence(tmp_path):
+    """defaults < JSON config < explicit CLI flags (reference semantics:
+    argparse SUPPRESS + dict.update, train.py:779-786)."""
+    import json, importlib.util, sys, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "train_cli", os.path.join(repo, "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg_path = tmp_path / "c.json"
+    cfg_path.write_text(json.dumps({"G_ch": 24, "seed": 111}))
+    args = vars(mod.build_parser().parse_args(
+        ["--config", str(cfg_path), "--outputroot", "x", "--run-name", "r",
+         "--seed", "222"]))
+    from ieagan_tpu.core.config import DEFAULT_CONFIG
+    config = dict(DEFAULT_CONFIG)
+    with open(args.pop("config")) as fp:
+        config.update(json.load(fp))
+    config.update(args)
+    assert config["G_ch"] == 24          # JSON beats default (32)
+    assert config["seed"] == 222          # CLI beats JSON (111)
+    assert config["D_ch"] == 32           # default survives
+    assert config["run_name"] == "r"
