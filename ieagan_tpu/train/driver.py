@@ -9,6 +9,7 @@ prefetch, mesh sharding when configured.
 
 from __future__ import annotations
 
+import functools
 import pathlib
 import time
 
@@ -31,17 +32,34 @@ def seed_rng(seed: int) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+@functools.lru_cache(maxsize=8)
+def _sv_packer():
+    @jax.jit
+    def pack(leaves):
+        return jnp.concatenate([jnp.ravel(l)[:1] for l in leaves])
+    return pack
+
+
 def get_singular_values(state, prefix: str) -> dict:
     """Flatten logged SN singular values (reference:
-    utils/__init__.py:572-588 formats keys with underscores)."""
-    out = {}
+    utils/__init__.py:572-588 formats keys with underscores).
+
+    All values are packed into ONE device array before fetching — per-leaf
+    host transfers cost ~100ms each over a network-attached chip (211 SN
+    layers made naive sv logging a 20s stall, found via the profiler trace).
+    """
     flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    names, leaves = [], []
     for path, leaf in flat:
         keys = [getattr(k, "key", str(k)) for k in path]
         if keys and keys[-1] == "sv":
             name = f"{prefix}_" + "_".join(str(k) for k in keys)
-            out[name.replace(".", "_")] = float(np.asarray(leaf).ravel()[0])
-    return out
+            names.append(name.replace(".", "_"))
+            leaves.append(leaf)
+    if not names:
+        return {}
+    vals = np.asarray(_sv_packer()(tuple(leaves)))
+    return dict(zip(names, vals.astype(float)))
 
 
 def save_event_grid(imgs, path):
@@ -177,9 +195,13 @@ def run(config: dict):
                 print(f"profiler trace written to {trace_dir}")
 
             if itr % int(config["log_interval"]) == 0:
-                jax.block_until_ready(metrics)
+                # one packed transfer (per-scalar fetches pay a tunnel round
+                # trip each)
+                keys_sorted = sorted(metrics)
+                packed = np.asarray(_sv_packer()(
+                    tuple(metrics[k] for k in keys_sorted)))
                 now = time.time()
-                metrics_host = {k: float(v) for k, v in metrics.items()}
+                metrics_host = dict(zip(keys_sorted, packed.astype(float)))
                 sec_per_itr = (now - t_last_log) / int(config["log_interval"])
                 t_last_log = now
                 print(f"itr {itr} ({now - t_start:.1f}s, "

@@ -15,6 +15,7 @@ import os
 import pathlib
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -30,8 +31,39 @@ def _atomic_write(path: pathlib.Path, data: bytes):
     os.replace(tmp, path)
 
 
+_PACKERS: dict = {}
+
+
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device->host fetch with per-dtype packing.
+
+    A naive tree_map(np.asarray) issues one transfer per leaf; at ~100ms
+    round-trip per transfer on a network-attached chip, a ~2000-leaf
+    TrainState costs minutes per checkpoint. Packing all same-dtype leaves
+    into one device array first makes it a handful of transfers.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves or not any(hasattr(l, "devices") for l in leaves):
+        return jax.tree_util.tree_map(np.asarray, tree)
+    groups: dict = {}
+    for i, leaf in enumerate(leaves):
+        groups.setdefault(np.dtype(getattr(leaf, "dtype", np.asarray(leaf).dtype)),
+                          []).append(i)
+    out: list = [None] * len(leaves)
+    for dtype, idxs in groups.items():
+        sig = (dtype, tuple((np.shape(leaves[i])) for i in idxs))
+        if sig not in _PACKERS:
+            _PACKERS[sig] = jax.jit(
+                lambda ls: jnp.concatenate([jnp.ravel(l) for l in ls])
+                if len(ls) > 1 else jnp.ravel(ls[0]))
+        packed = np.asarray(_PACKERS[sig](tuple(leaves[i] for i in idxs)))
+        off = 0
+        for i in idxs:
+            shape = np.shape(leaves[i])
+            size = int(np.prod(shape)) if shape else 1
+            out[i] = packed[off:off + size].reshape(shape)
+            off += size
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def save_checkpoint(weights_dir, train_state, state_dict: dict,
