@@ -84,6 +84,28 @@ class Model:
         model.params, model.state = tree["params"], tree["state"]
         return model
 
+    @classmethod
+    def from_torch(cls, state_dict_path: str, config: dict | None = None,
+                   dtype: Any = jnp.float32) -> "Model":
+        """Load a Model from a reference-layout PyTorch Generator state dict
+        (.pth) via models/convert.py — upstream-trained checkpoints run
+        natively (parity pinned by tests/test_model_parity.py)."""
+        import torch
+        from ieagan_tpu.models.convert import (convert_torch_generator,
+                                               load_into_variables)
+        model = cls(config=config, dtype=dtype)
+        sd = torch.load(state_dict_path, map_location="cpu",
+                        weights_only=False)
+        if not isinstance(sd, dict):
+            sd = sd.state_dict()
+        converted = convert_torch_generator(
+            sd, g_depth=int(model.config.get("G_depth", 2)))
+        variables = load_into_variables(
+            {"params": model.params, **model.state}, converted)
+        model.params = variables.pop("params")
+        model.state = variables
+        return model
+
     def _block_fn(self, events_per_call: int, chunks: int):
         """Cached jitted block generator (see generate_block)."""
         cache = self.__dict__.setdefault("_block_fns", {})

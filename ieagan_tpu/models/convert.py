@@ -1,0 +1,147 @@
+"""Torch -> flax Generator weight conversion.
+
+Converts a reference-layout PyTorch Generator state dict (reference:
+model.py:139-487 — BigGAN-deep G with SN convs/linears, ccbn gain/bias
+linears, shared embedding, optional RRM) into this framework's
+{params, spectral, batch_stats} collections, so upstream-trained
+checkpoints run natively and model-level parity can be asserted.
+
+Layout mapping:
+  * torch Linear weight (out, in)        -> kernel (in, out)      [transpose]
+  * torch Conv2d weight (O, I, kh, kw)   -> kernel (kh, kw, I, O)
+  * torch Embedding weight (n, d)        -> embedding (n, d)
+  * SN u0 buffers (1, out)               -> spectral ... u (num_svs, out)
+    (the flattened fan-in order differs between frameworks, but u lives in
+    the output space and v/sv are recomputed from W Wᵀ, which is
+    flattening-invariant — the normalized weight is identical)
+  * ccbn stored_mean/stored_var          -> batch_stats ... mean/var
+  * torch blocks ModuleList index k      -> blocks_{k // depth}_{k % depth}
+    (the reference nests one GBlock per inner list; stage attention at
+    inner index 1 of the stage-final list)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+
+
+def _put(tree: dict, path: list[str], value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_torch_generator(state_dict: dict, g_depth: int = 2) -> dict:
+    """Return {"params": ..., "spectral": ..., "batch_stats": ...} for
+    Generator.apply from a torch state dict (tensors or arrays)."""
+    params: dict = {}
+    spectral: dict = {}
+    batch_stats: dict = {}
+
+    def arr(v):
+        return np.asarray(getattr(v, "detach", lambda: v)().numpy()
+                          if hasattr(v, "detach") else v, np.float32)
+
+    def module_path(parts: list[str]) -> list[str]:
+        # torch 'blocks.k.j.rest' -> ours 'blocks_{k//depth}_{k%depth}' (+ rest)
+        if parts[0] == "blocks":
+            k, j = int(parts[1]), int(parts[2])
+            name = f"blocks_{k // g_depth}_{k % g_depth}"
+            if j > 0:
+                name = f"attn_{k // g_depth}"  # stage-final attention
+            return [name] + parts[3:]
+        if parts[0] == "output_layer":
+            return (["output_bn"] if parts[1] == "0" else ["output_conv"]) \
+                + parts[2:]
+        if parts[0] == "RR_G":
+            # RRM: layers.i -> layers_i; linear_net.{0,3} -> linear{1,2}
+            rest = parts[1:]
+            out = ["RR_G"]
+            i = 0
+            while i < len(rest):
+                p = rest[i]
+                if p == "layers":
+                    out.append(f"layers_{rest[i + 1]}")
+                    i += 2
+                elif p == "linear_net":
+                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
+                    i += 2
+                else:
+                    out.append(p)
+                    i += 1
+            return out
+        return parts
+
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = module_path(parts[:-1])
+        v = arr(val)
+        if leaf == "weight":
+            if v.ndim == 4:  # conv (O, I, kh, kw) -> (kh, kw, I, O)
+                _put(params, path + ["kernel"], v.transpose(2, 3, 1, 0))
+            elif v.ndim == 2:
+                if path and path[-1] == "shared" or parts[0] == "shared":
+                    _put(params, path + ["embedding"], v)
+                elif path and ("norm" in path[-1]):
+                    _put(params, path + ["scale"], v)
+                else:  # linear (out, in) -> (in, out)
+                    _put(params, path + ["kernel"], v.T)
+            else:  # 1-D: LayerNorm weight
+                _put(params, path + ["scale"], v)
+        elif leaf == "bias":
+            _put(params, path + ["bias"], v)
+        elif leaf == "gain":
+            _put(params, path + ["gain"], v)
+        elif leaf.startswith("u") and leaf[1:].isdigit():
+            _put(spectral, path + ["u"], v.reshape(1, -1))
+        elif leaf.startswith("sv") and leaf[1:].isdigit():
+            _put(spectral, path + ["sv"], v.reshape(-1))
+        elif leaf == "stored_mean":
+            _put(batch_stats, path + ["mean"], v)
+        elif leaf == "stored_var":
+            _put(batch_stats, path + ["var"], v)
+        elif leaf == "gamma":
+            _put(params, path + ["gamma"], np.float32(v))
+        # accumulation counters etc. keep defaults
+
+    # torch `bn` modules store learned gain/bias as Parameters named
+    # gain/bias at the module level — our BatchNorm uses the same names;
+    # torch ccbn gain/bias are sub-Linears handled by the rules above.
+    _fix_output_bn(params, batch_stats)
+    return {"params": params, "spectral": spectral,
+            "batch_stats": batch_stats}
+
+
+def _fix_output_bn(params: dict, batch_stats: dict):
+    ob = params.get("output_bn")
+    if not isinstance(ob, dict):
+        return
+    # nothing to fix when gain/bias already flat arrays
+    for name in ("gain", "bias"):
+        v = ob.get(name)
+        if isinstance(v, dict):  # unexpected nesting
+            ob[name] = next(iter(v.values()))
+
+
+def load_into_variables(variables: dict, converted: dict) -> dict:
+    """Overlay converted arrays onto an initialized variables tree (keeps
+    any leaves the conversion does not cover, e.g. sv logging buffers and
+    accumulation counters). Shapes must match where both sides exist."""
+    def merge(base, conv):
+        if not isinstance(base, dict):
+            if conv is None:
+                return base
+            b = np.asarray(base)
+            c = np.asarray(conv, b.dtype)
+            assert c.shape == b.shape, f"shape mismatch {c.shape} vs {b.shape}"
+            return c
+        return {k: merge(v, conv.get(k) if isinstance(conv, dict) else None)
+                for k, v in base.items()}
+
+    return {col: merge(tree, converted.get(col, {}))
+            for col, tree in variables.items()}

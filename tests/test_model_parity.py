@@ -1,0 +1,138 @@
+"""THE parity test: run the actual reference PyTorch Generator with the
+same weights as our flax Generator and compare the generated images.
+
+The reference implementation is imported from the read-only mount (it is
+executed as a test oracle, never copied). Deterministic comparison uses
+RRM_prx_G=False (no in-forward rdof noise) in eval mode, so both sides are
+pure functions of (weights, z, y)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = os.environ.get("IEAGAN_REFERENCE", "/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE, "model.py")),
+    reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_model_module():
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, REFERENCE)
+    import model as ref_model
+    yield ref_model
+    sys.path.remove(REFERENCE)
+
+
+CFG = dict(
+    G_ch=8, G_depth=2, dim_z=16, bottom_width=4, resolution=64,
+    G_attn="0", n_classes=4, H_base=1, G_shared=True, shared_dim=16,
+    hier=True, G_activation="relu", BN_eps=1e-5, SN_eps=1e-6,
+    RRM_prx_G=False, rdof_dim=0, G_param="SN", norm_style="bn",
+)
+
+
+def test_generator_matches_reference_with_converted_weights(ref_model_module):
+    import torch
+    torch.manual_seed(0)
+    ref_g = ref_model_module.Generator(
+        **dict(CFG, skip_init=False, no_optim=True, G_init="ortho",
+               device="cpu"))
+    ref_g.eval()
+
+    from ieagan_tpu.models import Generator
+    from ieagan_tpu.models.convert import (convert_torch_generator,
+                                           load_into_variables)
+    G = Generator.from_config(dict(CFG, use_pallas_attention=False))
+    z_np = np.random.RandomState(1).randn(4, CFG["dim_z"]).astype(np.float32)
+    y_np = np.arange(4)
+    variables = G.init({"params": jax.random.PRNGKey(0),
+                        "rdof": jax.random.PRNGKey(1)},
+                       jnp.asarray(z_np), jnp.asarray(y_np), train=False)
+    converted = convert_torch_generator(ref_g.state_dict(),
+                                        g_depth=CFG["G_depth"])
+    variables = load_into_variables(dict(variables), converted)
+
+    ours = np.asarray(G.apply(variables, jnp.asarray(z_np),
+                              jnp.asarray(y_np), train=False,
+                              rngs={"rdof": jax.random.PRNGKey(2)}))
+    with torch.no_grad():
+        theirs = ref_g(torch.from_numpy(z_np),
+                       torch.from_numpy(y_np)).numpy()
+    theirs = theirs.transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    assert ours.shape == theirs.shape
+    diff = np.abs(ours - theirs)
+    assert diff.max() < 5e-4, f"max diff {diff.max()}"
+
+
+@pytest.mark.slow
+def test_generator_with_rrm_matches_reference(ref_model_module):
+    """RRM-enabled parity (the IEA-GAN-specific path): rdof_dim=0 keeps the
+    forward deterministic; the reference hardcodes batch 40 in its rdof
+    concat so the event size must be 40."""
+    import torch
+    # shared_dim must be 128: the reference's RRM path hardcodes 128-dim
+    # proxies while sizing the first linear as dim_z+shared_dim
+    # (model.py:303,316-320) — inconsistent otherwise.
+    cfg = dict(CFG, n_classes=40, RRM_prx_G=True, rdof_dim=0, n_head_G=2,
+               shared_dim=128)
+    torch.manual_seed(0)
+    ref_g = ref_model_module.Generator(
+        **dict(cfg, skip_init=False, no_optim=True, G_init="ortho",
+               device="cpu"))
+    ref_g.eval()
+    from ieagan_tpu.models import Generator
+    from ieagan_tpu.models.convert import (convert_torch_generator,
+                                           load_into_variables)
+    G = Generator.from_config(dict(cfg, use_pallas_attention=False))
+    z_np = np.random.RandomState(2).randn(40, cfg["dim_z"]).astype(np.float32)
+    y_np = np.arange(40)
+    variables = G.init({"params": jax.random.PRNGKey(0),
+                        "rdof": jax.random.PRNGKey(1)},
+                       jnp.asarray(z_np), jnp.asarray(y_np), train=False)
+    converted = convert_torch_generator(ref_g.state_dict(),
+                                        g_depth=cfg["G_depth"])
+    variables = load_into_variables(dict(variables), converted)
+    ours = np.asarray(G.apply(variables, jnp.asarray(z_np),
+                              jnp.asarray(y_np), train=False,
+                              rngs={"rdof": jax.random.PRNGKey(2)}))
+    with torch.no_grad():
+        theirs = ref_g(torch.from_numpy(z_np),
+                       torch.from_numpy(y_np)).numpy().transpose(0, 2, 3, 1)
+    diff = np.abs(ours - theirs)
+    assert diff.max() < 5e-4, f"max diff {diff.max()}"
+
+
+def test_converted_tree_covers_all_params(ref_model_module):
+    import torch
+    torch.manual_seed(0)
+    ref_g = ref_model_module.Generator(
+        **dict(CFG, skip_init=True, no_optim=True, device="cpu"))
+    from ieagan_tpu.models import Generator
+    from ieagan_tpu.models.convert import convert_torch_generator
+    G = Generator.from_config(dict(CFG, use_pallas_attention=False))
+    variables = G.init({"params": jax.random.PRNGKey(0),
+                        "rdof": jax.random.PRNGKey(1)},
+                       jnp.zeros((4, CFG["dim_z"])), jnp.arange(4),
+                       train=False)
+    converted = convert_torch_generator(ref_g.state_dict(),
+                                        g_depth=CFG["G_depth"])
+
+    def leaves_with_paths(tree, prefix=()):
+        if not isinstance(tree, dict):
+            yield prefix, tree
+            return
+        for k, v in tree.items():
+            yield from leaves_with_paths(v, prefix + (k,))
+
+    ours_paths = {p for p, _ in leaves_with_paths(variables["params"])}
+    conv_paths = {p for p, _ in leaves_with_paths(converted["params"])}
+    missing = ours_paths - conv_paths
+    assert not missing, f"params not covered by conversion: {sorted(missing)[:10]}"
