@@ -128,6 +128,67 @@ def _fix_output_bn(params: dict, batch_stats: dict):
             ob[name] = next(iter(v.values()))
 
 
+def convert_torch_discriminator(state_dict: dict, d_depth: int = 2) -> dict:
+    """Convert a reference-layout PyTorch Discriminator state dict
+    (reference: model.py:624-944) — torch nests D_depth DBlocks per stage
+    list (attention appended at inner index D_depth), versus the G's
+    one-block-per-list layout."""
+    params: dict = {}
+    spectral: dict = {}
+
+    def arr(v):
+        return np.asarray(getattr(v, "detach", lambda: v)().numpy()
+                          if hasattr(v, "detach") else v, np.float32)
+
+    def module_path(parts: list[str]) -> list[str]:
+        if parts[0] == "blocks":
+            stage, j = int(parts[1]), int(parts[2])
+            name = (f"blocks_{stage}_{j}" if j < d_depth else f"attn_{stage}")
+            return [name] + parts[3:]
+        if parts[0] in ("RR_D", "RR_Dproxy"):
+            rest = parts[1:]
+            out = [parts[0]]
+            i = 0
+            while i < len(rest):
+                p = rest[i]
+                if p == "layers":
+                    out.append(f"layers_{rest[i + 1]}")
+                    i += 2
+                elif p == "linear_net":
+                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
+                    i += 2
+                else:
+                    out.append(p)
+                    i += 1
+            return out
+        return parts
+
+    for key, val in state_dict.items():
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = module_path(parts[:-1])
+        v = arr(val)
+        if leaf == "weight":
+            if v.ndim == 4:
+                _put(params, path + ["kernel"], v.transpose(2, 3, 1, 0))
+            elif v.ndim == 2:
+                if parts[0] == "embed":
+                    _put(params, path + ["embedding"], v)
+                else:
+                    _put(params, path + ["kernel"], v.T)
+            else:  # LayerNorm weight
+                _put(params, path + ["scale"], v)
+        elif leaf == "bias":
+            _put(params, path + ["bias"], v)
+        elif leaf.startswith("u") and leaf[1:].isdigit():
+            _put(spectral, path + ["u"], v.reshape(1, -1))
+        elif leaf.startswith("sv") and leaf[1:].isdigit():
+            _put(spectral, path + ["sv"], v.reshape(-1))
+        elif leaf == "gamma":
+            _put(params, path + ["gamma"], np.float32(v))
+    return {"params": params, "spectral": spectral}
+
+
 def load_into_variables(variables: dict, converted: dict) -> dict:
     """Overlay converted arrays onto an initialized variables tree (keeps
     any leaves the conversion does not cover, e.g. sv logging buffers and

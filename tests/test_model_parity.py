@@ -136,3 +136,47 @@ def test_converted_tree_covers_all_params(ref_model_module):
     conv_paths = {p for p, _ in leaves_with_paths(converted["params"])}
     missing = ours_paths - conv_paths
     assert not missing, f"params not covered by conversion: {sorted(missing)[:10]}"
+
+
+def test_discriminator_matches_reference_with_converted_weights(ref_model_module):
+    """D parity: conv stack + sum-pool + SN-RRM + contrastive head."""
+    import torch
+    # D_ch must be 32: the reference's RR_D hardcodes hidden_dim=512 for
+    # its final LayerNorm while input_dim tracks out_channels[-1]
+    # (model.py:788-798) — inconsistent at other widths.
+    dcfg = dict(
+        D_ch=32, D_depth=2, resolution=64, D_attn="32", n_classes=4,
+        D_activation="relu", conditional_strategy="Contra", SN_eps=1e-6,
+        hypersphere_dim=32, nonlinear_embed=False, normalize_embed=True,
+        RRM_prx_D=False, RRM_embed=True, n_head_D=4, D_param="SN",
+        D_wide=True,
+    )
+    torch.manual_seed(0)
+    ref_d = ref_model_module.Discriminator(
+        **dict(dcfg, skip_init=False, D_init="ortho", device="cpu"))
+    ref_d.eval()
+
+    from ieagan_tpu.models import Discriminator
+    from ieagan_tpu.models.convert import (convert_torch_discriminator,
+                                           load_into_variables)
+    D = Discriminator.from_config(dict(dcfg, use_pallas_attention=False))
+    x_np = np.random.RandomState(3).uniform(
+        -1, 1, (4, 64, 64, 1)).astype(np.float32)
+    y_np = np.arange(4)
+    variables = D.init({"params": jax.random.PRNGKey(0)},
+                       jnp.asarray(x_np), jnp.asarray(y_np), train=False)
+    converted = convert_torch_discriminator(ref_d.state_dict(),
+                                            d_depth=dcfg["D_depth"])
+    variables = load_into_variables(dict(variables), converted)
+    proxy, embed, out = D.apply(variables, jnp.asarray(x_np),
+                                jnp.asarray(y_np), train=False)
+    with torch.no_grad():
+        t_proxy, t_embed, t_out = ref_d(
+            torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+            torch.from_numpy(y_np))
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(embed), t_embed.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(proxy), t_proxy.numpy(),
+                               rtol=1e-3, atol=1e-3)
