@@ -30,19 +30,16 @@ ABLATION_OVERRIDES = {
 }
 
 
-def load_model(name: str, weights_dir: str):
-    from flax import serialization
+def load_model(name: str, weights_dir: str, config: dict | None = None):
+    """Restore an ablation model from a driver weights dir (handles the
+    copy<N> tags) or a torch .pth checkpoint."""
     from ieagan_tpu.deploy import Model
     overrides = dict(ABLATION_OVERRIDES.get(name, {}))
-    model = Model(config=overrides)
-    path = os.path.join(weights_dir, "G_ema.msgpack")
-    if not os.path.exists(path):
-        path = os.path.join(weights_dir, "G.msgpack")
-    with open(path, "rb") as fp:
-        tree = serialization.from_bytes(
-            {"params": model.params, "state": model.state}, fp.read())
-    model.params, model.state = tree["params"], tree["state"]
-    return model
+    if config:
+        overrides.update(config)
+    if weights_dir.endswith((".pth", ".pt")):
+        return Model.from_torch(weights_dir, config=overrides)
+    return Model.restore(weights_dir, config=overrides)
 
 
 def main():

@@ -82,3 +82,31 @@ def test_model_restore_from_checkpoint_dir(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(src.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_all_load_model_from_driver_checkpoint(tmp_path):
+    """scripts/eval_all.load_model restores a driver-tagged checkpoint."""
+    import importlib.util, sys, os, jax
+    import jax.numpy as jnp
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state
+    from ieagan_tpu.utils import save_checkpoint
+    from tests.helpers import tiny_config
+    cfg = tiny_config(compute_dtype="float32")
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+    save_checkpoint(tmp_path, state, {"itr": 9}, "copy9")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "eval_all_script", os.path.join(repo, "scripts", "eval_all.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    model_cfg = {k: cfg[k] for k in
+                 ("resolution", "n_classes", "H_base", "G_ch", "G_depth",
+                  "G_attn", "use_pallas_attention")}
+    model = mod.load_model("IEAGAN", str(tmp_path), config=model_cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(model.params),
+                    jax.tree_util.tree_leaves(state.params_G_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -71,3 +71,53 @@ class TestPlots:
         assert (tmp_path / "h.jpg").exists()
         assert out.shape == (8, 8)
         np.testing.assert_allclose(np.diag(out), 1.0, atol=1e-9)
+
+
+class TestSamplingSheets:
+    @pytest.fixture(scope="class")
+    def tiny_gen(self):
+        from tests.helpers import tiny_config
+        from ieagan_tpu.models import Generator
+        cfg = tiny_config(compute_dtype="float32")
+        G = Generator.from_config(cfg)
+        es = cfg["n_classes"]
+        z = jnp.zeros((es, cfg["dim_z"]))
+        y = jnp.arange(es)
+        v = G.init({"params": jax.random.PRNGKey(0),
+                    "rdof": jax.random.PRNGKey(1)}, z, y, train=False)
+        params = v["params"]
+        state = {k: x for k, x in v.items() if k != "params"}
+        return cfg, G, params, state
+
+    def test_sample_sheet_shape(self, tiny_gen):
+        from ieagan_tpu.utils.sampling import sample_sheet
+        cfg, G, params, state = tiny_gen
+        sheets = sample_sheet(G, params, state, cfg, jax.random.PRNGKey(0),
+                              samples_per_class=2)
+        es = cfg["n_classes"]
+        h = cfg["resolution"] - 6
+        w = cfg["resolution"] * cfg["H_base"]
+        assert sheets.shape == (es, 2, h, w)
+        assert float(sheets.min()) >= 0.0 and float(sheets.max()) <= 255.0
+
+    def test_interp_sheet_shape(self, tiny_gen):
+        from ieagan_tpu.utils.sampling import interp_sheet
+        cfg, G, params, state = tiny_gen
+        out = interp_sheet(G, params, state, cfg, jax.random.PRNGKey(1),
+                           num_midpoints=2)
+        es = cfg["n_classes"]
+        assert out.shape[:2] == (es, 4)
+
+    def test_generate_images_to_folder(self, tiny_gen, tmp_path):
+        from ieagan_tpu.utils.sampling import generate_images
+        cfg, G, params, state = tiny_gen
+        n = generate_images(str(tmp_path), G, params, state,
+                            dict(cfg, trunc_z=0.5, denoise=False),
+                            jax.random.PRNGKey(2), n_images=6)
+        assert n == 6
+        files = sorted(tmp_path.glob("image_*.png"))
+        assert len(files) == 6
+        from PIL import Image
+        img = Image.open(files[0])
+        assert img.size == (cfg["resolution"] * cfg["H_base"],
+                            cfg["resolution"] - 6)
