@@ -23,6 +23,7 @@ kernels through the Pallas interpreter (used by CPU tests).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -219,9 +220,12 @@ def flash_attention(q, k, v, *, scale: float = 1.0, interpret: bool | None = Non
     q: (..., Lq, dk), k: (..., Lkv, dk), v: (..., Lkv, dv) -> (..., Lq, dv).
     """
     if interpret is None:
-        if not flash_attention_available():
+        if os.environ.get("IEAGAN_PALLAS_INTERPRET"):
+            interpret = True  # run the kernel via the interpreter (CPU CI)
+        elif not flash_attention_available():
             return _xla_attention(q, k, v, scale)
-        interpret = False
+        else:
+            interpret = False
     lead = q.shape[:-2]
     lq, dk = q.shape[-2:]
     lkv, dv = k.shape[-2], v.shape[-1]

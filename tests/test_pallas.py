@@ -70,3 +70,25 @@ def test_bfloat16_inputs():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_through_model_path(monkeypatch):
+    """The attention modules route through the Pallas kernel (interpreter
+    mode on CPU) and reproduce the XLA-path forward."""
+    monkeypatch.setenv("IEAGAN_PALLAS_INTERPRET", "1")
+    from tests.helpers import tiny_config
+    from ieagan_tpu.models import Discriminator
+    cfg_x = tiny_config(compute_dtype="float32")            # XLA path
+    cfg_p = dict(cfg_x, use_pallas_attention=True)          # kernel path
+    Dx = Discriminator.from_config(cfg_x)
+    Dp = Discriminator.from_config(cfg_p)
+    B = cfg_x["n_classes"] * cfg_x["events_per_batch"]
+    x = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (B, cfg_x["resolution"], cfg_x["resolution"], 1)), jnp.float32)
+    y = jnp.tile(jnp.arange(cfg_x["n_classes"]), cfg_x["events_per_batch"])
+    v = Dx.init({"params": jax.random.PRNGKey(0)}, x, y, train=False)
+    out_x = Dx.apply(v, x, y, train=False)
+    out_p = Dp.apply(v, x, y, train=False)
+    for a, b in zip(out_x, out_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
