@@ -168,6 +168,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "fid_dataset_name": "pxd_sim_test_com",
     # On-device scan chunks per FID generation dispatch.
     "fid_gen_chunks": 8,
+    # z truncation for FID generation (reference metric uses trunc-trick
+    # z at trunc=1, mycleanfid/fid.py:659,674-678); <=0 disables.
+    "fid_trunc": 1.0,
     # Rows per class in the per-checkpoint sample sheet (0 disables).
     "samples_per_class_sheet": 4,
     # Rematerialize G/D blocks in the backward pass (jax.checkpoint):

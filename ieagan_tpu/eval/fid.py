@@ -338,7 +338,11 @@ def compute_fid_from_state(G, train_state, config):
     use_ema = bool(config.get("ema")) and bool(config.get("use_ema"))
     params = train_state.params_G_ema if use_ema else train_state.params_G
     state = train_state.state_G_ema if use_ema else train_state.state_G
-    gen = make_generator_fn(G, params, state, config, trunc=None,
+    # The reference metric generates with trunc-trick z at trunc=1
+    # (mycleanfid/fid.py:659,674-678); fid_trunc<=0 opts out.
+    trunc = float(config.get("fid_trunc", 1.0))
+    gen = make_generator_fn(G, params, state, config,
+                            trunc=trunc if trunc > 0 else None,
                             chunks=int(config.get("fid_gen_chunks", 8)))
     return compute_fid(
         gen, dataset_name=config.get("fid_dataset_name", "pxd_sim_test_com"),

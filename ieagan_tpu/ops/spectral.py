@@ -70,11 +70,6 @@ def power_iteration(w_mat: jnp.ndarray, us: jnp.ndarray, n_itrs: int, eps: float
     return svs, us
 
 
-class SNState(nn.Module):
-    """Mixin-style helper owning SN variables for a single weight."""
-    pass
-
-
 def _sn_normalize(mdl: nn.Module, w_mat: jnp.ndarray, num_svs: int, num_itrs: int,
                   eps: float, update: bool):
     """Shared SN plumbing: variables, power iteration, conditional update."""

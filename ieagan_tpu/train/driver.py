@@ -303,7 +303,14 @@ def run_test(G, state, state_dict, config, metrics_log):
         return
     print(f"The FID score is {fid}")
     if config.get("which_best", "FID") == "FID" and fid < state_dict["best_FID"]:
-        state_dict["save_best_num"] = (state_dict.get("save_best_num", 0) + 1) \
-            % int(config.get("num_best_copies", 2))
+        # Write the best-tagged checkpoint with num_best_copies rotation
+        # (reference: train_fns.py:222-231, utils/__init__.py:689-726).
+        n = state_dict.get("save_best_num", 0)
+        weights_dir = (pathlib.Path(config["outputroot"]) / config["run_name"]
+                       / "weights")
+        save_checkpoint(weights_dir, state,
+                        dict(state_dict, best_FID=float(fid)), f"best{n}")
+        state_dict["save_best_num"] = (n + 1) % int(
+            config.get("num_best_copies", 2))
     state_dict["best_FID"] = min(state_dict["best_FID"], fid)
     metrics_log.log(itr=int(state_dict["itr"]), FID=float(fid))

@@ -112,6 +112,15 @@ def test_fid_hook_end_to_end(tmp_path, monkeypatch):
     from ieagan_tpu.utils import read_jsonl
     recs = read_jsonl(tmp_path / "fidrun" / "logs" / "metric_log.jsonl")
     assert recs and "FID" in recs[-1]
+    # an improved FID writes a best-tagged checkpoint with rotation
+    # (reference: train_fns.py:222-231)
+    weights = tmp_path / "fidrun" / "weights"
+    for comp in ["G", "D", "G_ema", "state_dict"]:
+        ext = ".json" if comp == "state_dict" else ".msgpack"
+        assert (weights / f"{comp}_best0{ext}").exists()
+    assert state_dict["save_best_num"] == 1
+    sd = json.loads((weights / "state_dict_best0.json").read_text())
+    assert sd["best_FID"] == pytest.approx(state_dict["best_FID"])
 
 
 def test_missing_stats_skips_gracefully(tmp_path, monkeypatch, capsys):
