@@ -2,7 +2,11 @@
 
 Measures the deployment path (flagship 256x768 generator, 40-image events,
 full generate() postprocess) and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+"extra" carries the training-path numbers: fused-train-step steps/s and an
+MFU estimate (XLA cost-analysis FLOPs / chip peak). Set BENCH_TRAIN=0 to
+skip the training benchmark (it compiles the full fused step).
 
 vs_baseline compares against the PyTorch-CPU reference implementation's
 throughput minted by scripts/mint_baseline.py into baseline_local.json
@@ -21,6 +25,85 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+# bf16 peak FLOP/s per chip by device_kind substring (public TPU specs).
+_PEAK_BF16 = [
+    ("v5 lite", 197e12), ("v5litepod", 197e12), ("v5e", 197e12),
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+]
+
+
+def peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_BF16:
+        if sub in kind:
+            return peak
+    return None
+
+
+def bench_train(config) -> dict:
+    """Fused-train-step throughput + MFU on synthetic on-device data
+    (flagship shapes; the reference regime is batch_size=40 = 1 event,
+    reference config.json:49)."""
+    import jax
+    import jax.numpy as jnp
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state
+    from ieagan_tpu.train.step import make_train_step
+
+    n_steps = int(os.environ.get("BENCH_TRAIN_STEPS", "15"))
+    epb = int(config.get("events_per_batch", 1))
+    es = int(config["n_classes"])
+    h = int(config["resolution"])
+    w = h * int(config["H_base"])
+
+    G = Generator.from_config(config, dtype=jnp.bfloat16)
+    D = Discriminator.from_config(config, dtype=jnp.bfloat16)
+    t0 = time.time()
+    state = init_train_state(G, D, config, jax.random.PRNGKey(0))
+    jax.block_until_ready(state.params_G)
+    log(f"train init: {time.time() - t0:.1f}s")
+
+    step = jax.jit(make_train_step(G, D, config, steps_per_epoch=1000),
+                   donate_argnums=(0,))
+    x = jax.jit(lambda k: jax.random.uniform(
+        k, (es * epb, h, w, 1), jnp.float32, -1.0, 1.0))(jax.random.PRNGKey(1))
+    y = jnp.tile(jnp.arange(es, dtype=jnp.int32), epb)
+
+    # XLA's own FLOP count for the compiled step -> MFU denominator.
+    flops = None
+    try:
+        compiled = step.lower(state, x, y, jax.random.PRNGKey(2)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+
+    t0 = time.time()
+    state, metrics = step(state, x, y, jax.random.PRNGKey(2))
+    jax.block_until_ready(metrics)
+    log(f"train compile+first step: {time.time() - t0:.1f}s")
+
+    key = jax.random.PRNGKey(3)
+    t0 = time.time()
+    for i in range(n_steps):
+        state, metrics = step(state, x, y, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+    dt = time.time() - t0
+    steps_per_sec = n_steps / dt
+    out = {"train_steps_per_sec": round(steps_per_sec, 4),
+           "train_ms_per_step": round(1000.0 * dt / n_steps, 1),
+           "train_events_per_batch": epb}
+    peak = peak_flops(jax.devices()[0])
+    if flops and peak:
+        out["train_flops_per_step"] = flops
+        out["train_mfu"] = round(flops * steps_per_sec / peak, 4)
+    log(f"train: {out}")
+    return out
 
 
 def main():
@@ -98,11 +181,19 @@ def main():
         if base.get("value"):
             vs_baseline = events_per_sec / float(base["value"])
 
+    extra = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            extra = bench_train(config)
+        except Exception as e:
+            log(f"train benchmark failed: {e}")
+
     print(json.dumps({
         "metric": "generate_events_per_sec",
         "value": round(events_per_sec, 4),
         "unit": "events/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "extra": extra,
     }))
 
 

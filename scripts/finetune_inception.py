@@ -3,10 +3,17 @@
 
 Re-mints the reference's missing FID backbone ("inception_V3_best.pt" —
 absent LFS blob; recipe: notebooks/Inception_re-training.ipynb finetunes
-timm inception_v3 to the 40 sensor classes at +0.99 accuracy). This script
-does the same TPU-natively: our flax InceptionV3Features + a 40-class head,
-trained on the event dataset's per-sensor images, saved as a msgpack params
-file consumable via IEAGAN_INCEPTION_WEIGHTS.
+timm inception_v3 to the 40 sensor classes at ~0.99 accuracy). This script
+does the same TPU-natively: our flax InceptionV3Features + an n_sensors
+head, trained on the event dataset's per-sensor images.
+
+TPU-first data plan (the chip is network-attached — per-step host uploads
+cost ~0.1 s/MB, so we pay the transfer once): the raw uint8 image tensor is
+placed on device up front and every step samples/normalizes/resizes fully
+on device inside the jitted step. Training inputs are raw [0,1] pixel
+images — the SAME space the extractor sees at FID time (get_folder_features
+loads PNG/255; fid_postprocess decodes generator output to [0,1] ADU/255),
+NOT the train-loop's lognorm encoding.
 
 Usage:
   python scripts/finetune_inception.py --dataroot <pxd-data> \
@@ -18,8 +25,27 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_raw_images(dataroot: str, max_events: int | None):
+    """-> (images uint8 (n_sensors*n_events, H, W), labels int32), raw pixel
+    values (no padding, no lognorm — see module docstring)."""
+    import numpy as np
+    from PIL import Image
+    subdirs = sorted(os.listdir(dataroot))
+    filenames = sorted(os.listdir(os.path.join(dataroot, subdirs[0])))
+    if max_events:
+        filenames = filenames[:max_events]
+    imgs, labels = [], []
+    for s, sub in enumerate(subdirs):
+        for fn in filenames:
+            with Image.open(os.path.join(dataroot, sub, fn)) as im:
+                imgs.append(np.asarray(im.convert("L"), np.uint8))
+            labels.append(s)
+    return np.stack(imgs), np.asarray(labels, np.int32), len(subdirs)
 
 
 def main():
@@ -30,11 +56,21 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-events", type=int, default=300,
+                    help="events per sensor to load (bounds the one-time "
+                         "host->device upload)")
+    ap.add_argument("--val-frac", type=float, default=0.1)
     ap.add_argument("--init-weights", default=None,
                     help="optional torch state dict to start from")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon TPU plugin "
+                         "overrides JAX_PLATFORMS env)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -43,11 +79,26 @@ def main():
     from ieagan_tpu.eval.inception import (InceptionV3Features,
                                            convert_torch_state_dict)
     from ieagan_tpu.eval.resize import jax_resize_single_channel
-    from ieagan_tpu.data import ImageEventsDataset
 
-    ds = ImageEventsDataset(args.dataroot, noise_scale=0.0)
-    n_classes = ds.n_sensors
-    print(f"{len(ds)} events x {n_classes} sensors")
+    imgs_u8, labels, n_classes = load_raw_images(args.dataroot, args.max_events)
+    n = imgs_u8.shape[0]
+    print(f"{n} images, {n_classes} sensors, {imgs_u8.nbytes / 1e9:.2f} GB raw")
+
+    # train/val split, stratified by construction (labels are block-sorted;
+    # permute within the global pool instead)
+    rng_np = np.random.default_rng(args.seed)
+    perm = rng_np.permutation(n)
+    n_val = int(n * args.val_frac)
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    # one-time device placement (minutes over the tunnel; amortized over
+    # all steps — per-step uploads would cost more every single step)
+    t0 = time.time()
+    d_imgs = jax.device_put(imgs_u8)
+    d_labels = jax.device_put(labels)
+    d_train_idx = jax.device_put(train_idx.astype(np.int32))
+    jax.block_until_ready(d_imgs)
+    print(f"dataset resident on {d_imgs.device} in {time.time() - t0:.1f}s")
 
     class Classifier(nn.Module):
         @nn.compact
@@ -67,11 +118,19 @@ def main():
         params = dict(params)
         params["features"] = convert_torch_state_dict(sd)
 
-    tx = optax.adam(args.lr)
+    tx = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps))
     opt_state = tx.init(params)
 
+    def batch_from_idx(idx):
+        x = d_imgs[idx].astype(jnp.float32) / 255.0  # raw [0,1] pixel space
+        return jax_resize_single_channel(x), d_labels[idx]
+
     @jax.jit
-    def train_step(params, opt_state, x, y):
+    def train_step(params, opt_state, key):
+        idx = d_train_idx[jax.random.randint(
+            key, (args.batch,), 0, d_train_idx.shape[0])]
+        x, y = batch_from_idx(idx)
+
         def loss_fn(p):
             logits = model.apply({"params": p}, x)
             loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -80,23 +139,33 @@ def main():
             return loss, acc
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, acc
+        return (optax.apply_updates(params, updates), opt_state,
+                jnp.stack([loss, acc]))
 
-    np_rng = np.random.default_rng(args.seed)
-    per_event = max(1, args.batch // n_classes)
+    @jax.jit
+    def eval_batch(params, idx):
+        x, y = batch_from_idx(idx)
+        logits = model.apply({"params": params}, x)
+        return jnp.mean(jnp.argmax(logits, -1) == y)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
     for step in range(args.steps):
-        ev_ids = np_rng.choice(len(ds), per_event, replace=False)
-        imgs, labels = [], []
-        for e in ev_ids:
-            im, lb = ds[e]  # (n_sensors, H, W, 1) in [-1, 1]
-            imgs.append((im[..., 0] * 0.5 + 0.5))  # -> [0, 1]
-            labels.append(lb)
-        x = jnp.asarray(np.concatenate(imgs))
-        y = jnp.asarray(np.concatenate(labels))
-        x = jax_resize_single_channel(x)
-        params, opt_state, loss, acc = train_step(params, opt_state, x, y)
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = train_step(params, opt_state, sub)
         if step % 50 == 0:
-            print(f"step {step}: loss {float(loss):.4f} acc {float(acc):.3f}")
+            loss, acc = np.asarray(metrics)  # one packed fetch
+            print(f"step {step}: loss {loss:.4f} acc {acc:.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    # held-out accuracy (the reference's recipe reports ~0.99)
+    accs = []
+    eb = args.batch
+    for i in range(0, len(val_idx) - eb + 1, eb):
+        accs.append(float(eval_batch(
+            params, jnp.asarray(val_idx[i:i + eb].astype(np.int32)))))
+    val_acc = float(np.mean(accs)) if accs else float("nan")
+    print(f"validation accuracy: {val_acc:.4f} over {len(accs) * eb} images")
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "wb") as fp:
