@@ -171,6 +171,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # z truncation for FID generation (reference metric uses trunc-trick
     # z at trunc=1, mycleanfid/fid.py:659,674-678); <=0 disables.
     "fid_trunc": 1.0,
+    # FID pipeline variant: "clean" (bilinear, [0,1] — mycleanfid/fid.py) or
+    # "clean_255" (bicubic, [0,255] — mycleanfid/fid-Copy_255.py).
+    "fid_mode": "clean",
+    # Reference bit-parity for RR_D/RR_Dproxy: treat the whole D input batch
+    # as ONE sequence (model.py:918,930) instead of per-event sequences.
+    "rrm_full_batch_sequence": False,
     # Rows per class in the per-checkpoint sample sheet (0 disables).
     "samples_per_class_sheet": 4,
     # Rematerialize G/D blocks in the backward pass (jax.checkpoint):

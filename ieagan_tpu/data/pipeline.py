@@ -18,11 +18,21 @@ import numpy as np
 
 
 class EventLoader:
-    """Iterable over (images, labels) batches of whole events."""
+    """Iterable over (images, labels) batches of whole events.
+
+    Multi-host: pass ``process_index``/``process_count`` (default: this
+    process's ``jax.process_*``) and a global NamedSharding. Each process
+    decodes only every ``process_count``-th event of a seed-consistent
+    global shuffle; ``events_per_batch`` stays the GLOBAL batch size and the
+    yielded arrays are global jax.Arrays assembled from the local shards
+    (``parallel.distributed.host_local_batch``).
+    """
 
     def __init__(self, dataset, num_workers: int = 8, shuffle: bool = True,
                  seed: int | None = None, events_per_batch: int = 1,
-                 prefetch: int = 2, sharding=None, drop_last: bool = True):
+                 prefetch: int = 2, sharding=None, drop_last: bool = True,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
         self.num_workers = max(1, num_workers)
         self.shuffle = shuffle
@@ -31,31 +41,46 @@ class EventLoader:
         self.prefetch = prefetch
         self.sharding = sharding
         self.drop_last = drop_last
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if events_per_batch % self.process_count:
+            raise ValueError(
+                f"events_per_batch={events_per_batch} must divide evenly "
+                f"over {self.process_count} processes")
+        self._epb_local = events_per_batch // self.process_count
         self._epoch = 0
 
     def __len__(self):
-        n = len(self.dataset) // self.events_per_batch
-        if not self.drop_last and len(self.dataset) % self.events_per_batch:
+        n_local = len(self.dataset) // self.process_count
+        n = n_local // self._epb_local
+        if not self.drop_last and n_local % self._epb_local:
             n += 1
         return n
 
     def _order(self):
+        """This process's slice of the seed-consistent global order."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
+            seed = self.seed
+            if seed is None and self.process_count > 1:
+                seed = 0  # processes must agree on the global permutation
             rng = np.random.default_rng(
-                None if self.seed is None else (self.seed, self._epoch))
+                None if seed is None else (seed, self._epoch))
             rng.shuffle(idx)
-        return idx
+        return idx[self.process_index::self.process_count]
 
     def __iter__(self):
         order = self._order()
         self._epoch += 1
-        epb = self.events_per_batch
+        epb = self._epb_local
         n_batches = len(self)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
+            from ieagan_tpu.parallel.distributed import host_local_batch
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for b in range(n_batches):
@@ -66,8 +91,11 @@ class EventLoader:
                         imgs = np.concatenate([im for im, _ in items], axis=0)
                         labels = np.concatenate([lb for _, lb in items], axis=0)
                         if self.sharding is not None:
-                            imgs = jax.device_put(imgs, self.sharding)
-                            labels = jax.device_put(labels, self.sharding)
+                            # overlaps the upload with the previous step's
+                            # compute; multi-process: assembles the global
+                            # array from this process's shard
+                            imgs, labels = host_local_batch(
+                                self.sharding, imgs, labels)
                         q.put((imgs, labels))
             finally:
                 q.put(None)

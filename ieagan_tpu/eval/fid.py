@@ -20,6 +20,7 @@ Faithful to the reference pipeline (reference: mycleanfid/fid.py):
 
 from __future__ import annotations
 
+import functools
 import os
 import pathlib
 
@@ -140,8 +141,17 @@ def kernel_distance(feats1, feats2, num_subsets: int = 100,
 
 # ------------------------------------------------------------ feature runs
 
+def _mode_options(mode: str):
+    """Pipeline variants: "clean" = bilinear resize, [0,1] inputs (fid.py);
+    "clean_255" = bicubic resize, [0,255] inputs (fid-Copy_255.py:51,152)."""
+    if mode == "clean_255":
+        return "bicubic", 255.0
+    return "bilinear", 1.0
+
+
 def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
-                       batch_size: int, rng, resize_on_device: bool = True):
+                       batch_size: int, rng, resize_on_device: bool = True,
+                       mode: str = "clean"):
     """Collect features from a generator callable.
 
     gen_fn(key) -> (N, H, W, 1) images in [-1, 1] with permuted labels
@@ -149,10 +159,13 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
     generators amortize device dispatches — see make_generator_fn).
     """
     del batch_size  # sizing comes from gen_fn's output
+    interp, scale = _mode_options(mode)
     feats = []
     total = 0
-    post = jax.jit(fid_postprocess)
-    resize = jax.jit(jax_resize_single_channel) if resize_on_device else None
+    post = jax.jit(lambda im: fid_postprocess(im) * scale)
+    resize = (jax.jit(functools.partial(jax_resize_single_channel,
+                                        interp=interp))
+              if resize_on_device else None)
     keys = jax.random.split(rng, 4096)
     i = 0
     while total < num_gen:
@@ -162,7 +175,7 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
         if resize_on_device:
             batch299 = resize(imgs01)
         else:
-            batch299 = pil_resize_batch(np.asarray(imgs01))
+            batch299 = pil_resize_batch(np.asarray(imgs01), interp=interp)
         f = extractor(batch299)
         feats.append(f)
         total += f.shape[0]
@@ -170,10 +183,13 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
 
 
 def get_folder_features(fdir, extractor: FeatureExtractor, num=None,
-                        batch_size: int = 64, resize_on_device: bool = False):
+                        batch_size: int = 64, resize_on_device: bool = False,
+                        mode: str = "clean"):
     """Features for all images in a folder (reference: make_custom_stats
-    input path, fid.py:843-860). Images are loaded as single-channel [0,1]."""
+    input path, fid.py:843-860). Images are loaded as single-channel [0,1]
+    ("clean") or [0,255] ("clean_255")."""
     from PIL import Image
+    interp, scale = _mode_options(mode)
     files = sorted(
         p for p in pathlib.Path(fdir).rglob("*")
         if p.suffix.lower() in (".png", ".jpg", ".jpeg", ".bmp", ".tiff"))
@@ -183,10 +199,11 @@ def get_folder_features(fdir, extractor: FeatureExtractor, num=None,
     for i in range(0, len(files), batch_size):
         chunk = files[i:i + batch_size]
         imgs = np.stack([
-            np.asarray(Image.open(f).convert("L"), np.float32) / 255.0
+            np.asarray(Image.open(f).convert("L"), np.float32) * (scale / 255.0)
             for f in chunk])
-        batch299 = (np.asarray(jax_resize_single_channel(jnp.asarray(imgs)))
-                    if resize_on_device else pil_resize_batch(imgs))
+        batch299 = (np.asarray(jax_resize_single_channel(jnp.asarray(imgs),
+                                                         interp=interp))
+                    if resize_on_device else pil_resize_batch(imgs, interp=interp))
         feats.append(extractor(batch299))
     return np.concatenate(feats)
 
@@ -219,7 +236,8 @@ def make_custom_stats(name: str, fdir: str, num=None, mode: str = "clean",
     path = _stats_path(name, mode)
     if os.path.exists(path) and not overwrite:
         raise FileExistsError(f"statistics file {path} already exists")
-    feats = get_folder_features(fdir, extractor, num=num, batch_size=batch_size)
+    feats = get_folder_features(fdir, extractor, num=num,
+                                batch_size=batch_size, mode=mode)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, mu=np.mean(feats, axis=0),
                         sigma=np.cov(feats, rowvar=False))
@@ -238,7 +256,8 @@ def make_custom_kid_stats(name: str, fdir: str, num=None, mode: str = "clean",
     path = _stats_path(name, mode).replace(".npz", "_kid.npz")
     if os.path.exists(path) and not overwrite:
         raise FileExistsError(f"statistics file {path} already exists")
-    feats = get_folder_features(fdir, extractor, num=num, batch_size=batch_size)
+    feats = get_folder_features(fdir, extractor, num=num,
+                                batch_size=batch_size, mode=mode)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, feats=feats)
     return path
@@ -248,16 +267,19 @@ def compute_kid(gen_fn=None, fdir1=None, fdir2=None, *,
                 dataset_name: str = "pxd_sim_test_com", num_gen: int = 16000,
                 batch_size: int = 40, rng=None,
                 extractor: FeatureExtractor | None = None,
-                resize_on_device: bool = True, seed: int | None = 0):
+                resize_on_device: bool = True, seed: int | None = 0,
+                mode: str = "clean"):
     """KID for a generator against stored raw features, or between folders
     (the reference implements kernel_distance but never wires it into the
     loop, fid.py:476-487 — here it is a first-class metric)."""
     extractor = extractor or FeatureExtractor()
     if fdir1 is not None and fdir2 is not None:
-        f1 = get_folder_features(fdir1, extractor, batch_size=batch_size)
-        f2 = get_folder_features(fdir2, extractor, batch_size=batch_size)
+        f1 = get_folder_features(fdir1, extractor, batch_size=batch_size,
+                                 mode=mode)
+        f2 = get_folder_features(fdir2, extractor, batch_size=batch_size,
+                                 mode=mode)
         return kernel_distance(f1, f2, seed=seed)
-    path = _stats_path(dataset_name, "clean").replace(".npz", "_kid.npz")
+    path = _stats_path(dataset_name, mode).replace(".npz", "_kid.npz")
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"KID reference features {path} not found; mint them with "
@@ -266,7 +288,7 @@ def compute_kid(gen_fn=None, fdir1=None, fdir2=None, *,
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     feats = get_model_features(gen_fn, extractor, num_gen=num_gen,
                                batch_size=batch_size, rng=rng,
-                               resize_on_device=resize_on_device)
+                               resize_on_device=resize_on_device, mode=mode)
     return kernel_distance(feats, ref_feats, seed=seed)
 
 
@@ -275,23 +297,27 @@ def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
                 batch_size: int = 40, rng=None,
                 extractor: FeatureExtractor | None = None,
                 resize_on_device: bool = True,
-                return_features: bool = False):
+                return_features: bool = False,
+                mode: str = "clean"):
     """FID for a generator against dataset stats, or between two folders
-    (reference: fid.py:870-942)."""
+    (reference: fid.py:870-942; mode="clean_255" selects the
+    fid-Copy_255.py bicubic/[0,255] variant)."""
     extractor = extractor or FeatureExtractor()
     if fdir1 is not None and fdir2 is not None:
-        f1 = get_folder_features(fdir1, extractor, batch_size=batch_size)
-        f2 = get_folder_features(fdir2, extractor, batch_size=batch_size)
+        f1 = get_folder_features(fdir1, extractor, batch_size=batch_size,
+                                 mode=mode)
+        f2 = get_folder_features(fdir2, extractor, batch_size=batch_size,
+                                 mode=mode)
         fid = frechet_distance(np.mean(f1, 0), np.cov(f1, rowvar=False),
                                np.mean(f2, 0), np.cov(f2, rowvar=False))
         return (fid, f1, f2) if return_features else fid
     if gen_fn is None:
         raise ValueError("need gen_fn or two folders")
-    ref_mu, ref_sigma = get_reference_statistics(dataset_name)
+    ref_mu, ref_sigma = get_reference_statistics(dataset_name, mode=mode)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     feats = get_model_features(gen_fn, extractor, num_gen=num_gen,
                                batch_size=batch_size, rng=rng,
-                               resize_on_device=resize_on_device)
+                               resize_on_device=resize_on_device, mode=mode)
     fid = frechet_distance(np.mean(feats, 0), np.cov(feats, rowvar=False),
                            ref_mu, ref_sigma)
     return (fid, feats) if return_features else fid
@@ -348,4 +374,5 @@ def compute_fid_from_state(G, train_state, config):
         gen, dataset_name=config.get("fid_dataset_name", "pxd_sim_test_com"),
         num_gen=int(config.get("num_incep_images", 16000)),
         batch_size=int(config["n_classes"]) * int(config.get("events_per_batch", 1)),
-        rng=jax.random.PRNGKey(int(config.get("seed", 0))))
+        rng=jax.random.PRNGKey(int(config.get("seed", 0))),
+        mode=config.get("fid_mode", "clean"))

@@ -152,3 +152,42 @@ def gradient_penalty(d_apply, variables, real, fake, labels, key,
     grads = jax.grad(score)(interp)
     gnorm = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(b, -1)), axis=1) + 1e-12)
     return jnp.mean(jnp.square(gnorm - 1.0))
+
+
+def gradient_penalty_dragan(d_apply, variables, real, labels, key,
+                            conditional_strategy: str = "Contra"):
+    """DRAGAN-style penalty on noise perturbations around the real data
+    (reference: loss.py:232-265 calc_derv4dra, unused by the train loop —
+    provided for parity)."""
+    b = real.shape[0]
+    k_alpha, k_noise = jax.random.split(key)
+    alpha = jax.random.uniform(k_alpha, (b, 1, 1, 1), dtype=real.dtype)
+    # torch .std() is the unbiased estimator (ddof=1)
+    std = jnp.std(real, ddof=1)
+    differences = 0.5 * std * jax.random.uniform(k_noise, real.shape,
+                                                 dtype=real.dtype)
+    interp = real + alpha * differences
+
+    def score(x):
+        outs = d_apply(variables, x, labels)
+        s = outs[2] if conditional_strategy == "Contra" else outs
+        return jnp.sum(s)
+
+    grads = jax.grad(score)(interp)
+    gnorm = jnp.sqrt(jnp.sum(jnp.square(grads.reshape(b, -1)), axis=1) + 1e-12)
+    return jnp.mean(jnp.square(gnorm - 1.0))
+
+
+def latent_gradient_norm(g_apply, d_apply, z, labels,
+                         conditional_strategy: str = "Contra"):
+    """Gradient of D(G(z)) w.r.t. the latents and its squared 2-norm per
+    sample, (grads, norm[:, None]) (reference: loss.py:268-293 calc_derv,
+    unused by the train loop — provided for parity)."""
+    def score(zz):
+        outs = d_apply(g_apply(zz, labels), labels)
+        s = outs[2] if conditional_strategy == "Contra" else outs
+        return jnp.sum(s)
+
+    grads = jax.grad(score)(z)
+    gnorm = jnp.sum(jnp.square(grads), axis=1)[:, None]
+    return grads, gnorm

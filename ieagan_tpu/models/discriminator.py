@@ -93,6 +93,11 @@ class Discriminator(nn.Module):
     RRM_embed: bool = True
     n_head_D: int = 4
     event_size: int = 40
+    # Reference bit-parity: feed the WHOLE input batch to RR_D/RR_Dproxy as
+    # one sequence (reference model.py:918,930 h.unsqueeze(0) — in concat
+    # mode that is a mixed 2*event_size [fake; real] sequence). Default
+    # keeps per-event sequences, the documented deviation (train/step.py).
+    rrm_full_batch_sequence: bool = False
     dtype: Any = jnp.float32
     use_pallas: bool = False
     remat: bool = False
@@ -178,8 +183,10 @@ class Discriminator(nn.Module):
                     jnp.concatenate([cls_proxy, feat], axis=-1),
                     update_stats=update_stats)
             if self.RRM_embed:
-                events = h.shape[0] // self.event_size
-                h_seq = h.reshape(events, self.event_size, top)
+                seq = (h.shape[0] if self.rrm_full_batch_sequence
+                       else self.event_size)
+                events = h.shape[0] // seq
+                h_seq = h.reshape(events, seq, top)
                 # SN linears inside D's RRM (reference: model.py:788-797).
                 h_seq = RelationalReasoning(
                     num_layers=1, input_dim=top, num_heads=self.n_head_D,
@@ -194,8 +201,10 @@ class Discriminator(nn.Module):
                 cls_embed = which_linear(self.hypersphere_dim, name="linear1")(
                     h, update_stats=update_stats)
             if self.RRM_prx_D:
-                events = cls_proxy.shape[0] // self.event_size
-                p_seq = cls_proxy.reshape(events, self.event_size,
+                seq = (cls_proxy.shape[0] if self.rrm_full_batch_sequence
+                       else self.event_size)
+                events = cls_proxy.shape[0] // seq
+                p_seq = cls_proxy.reshape(events, seq,
                                           self.hypersphere_dim)
                 p_seq = RelationalReasoning(
                     num_layers=1, input_dim=self.hypersphere_dim,

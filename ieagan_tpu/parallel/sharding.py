@@ -70,6 +70,7 @@ def make_sharded_train_step(G, D, config, mesh: Mesh,
     jit propagates shardings from the operands.
     """
     from ieagan_tpu.train.step import make_train_step
+    from ieagan_tpu.parallel.distributed import host_local_batch
 
     step = make_train_step(G, D, config)
     data_sh = batch_shardings(mesh)
@@ -77,28 +78,54 @@ def make_sharded_train_step(G, D, config, mesh: Mesh,
     jitted = jax.jit(step, donate_argnums=(0,))
 
     def run(state, x, y, rng):
-        x = jax.device_put(x, data_sh)
-        y = jax.device_put(y, data_sh)
+        # host batches -> globally sharded arrays (multi-process: x/y are
+        # this process's local events; single: a plain device_put)
+        if not (isinstance(x, jax.Array) and x.sharding == data_sh):
+            x, y = host_local_batch(data_sh, np.asarray(x), np.asarray(y))
         return jitted(state, x, y, rng)
 
     return run
 
 
 def place_state(state, mesh: Mesh, tensor_parallel: bool = False):
-    """device_put a TrainState: params (and their optimizer moments / EMA)
-    per the tp rule, scalar state replicated."""
-    def put_params(p):
+    """device_put a TrainState: params, their optimizer moments, and the EMA
+    copy per the tp rule; scalar/norm state replicated.
+
+    The tp rule is purely shape-based, so applying ``param_shardings`` to the
+    optimizer state pytree shards Adam's mu/nu mirrors exactly like their
+    params (its scalar leaves — step counts — fall through to replicated);
+    anything else would force XLA to reshard moments every update and keep
+    full-size moment copies per device.
+    """
+    multiprocess = jax.process_count() > 1
+
+    def put_leaf(leaf, sh):
+        if not multiprocess:
+            return jax.device_put(leaf, sh)
+        # Multi-process: every process holds the full host value (same-seed
+        # init / broadcast checkpoint); each fills only its addressable
+        # shards. device_put would instead run a per-leaf cross-process
+        # assert_equal collective.
+        leaf = np.asarray(leaf)
+        return jax.make_array_from_callback(leaf.shape, sh,
+                                            lambda idx: leaf[idx])
+
+    def put_tree(p):
         return jax.tree_util.tree_map(
-            lambda leaf, sh: jax.device_put(leaf, sh), p,
-            param_shardings(p, mesh, tensor_parallel))
+            put_leaf, p, param_shardings(p, mesh, tensor_parallel))
 
     rep = replicate(mesh)
+
+    def put_rep(p):
+        return jax.tree_util.tree_map(lambda l: put_leaf(l, rep), p)
+
     return state.replace(
-        params_G=put_params(state.params_G),
-        params_D=put_params(state.params_D),
-        params_G_ema=put_params(state.params_G_ema),
-        state_G=jax.device_put(state.state_G, rep),
-        state_D=jax.device_put(state.state_D, rep),
-        opt_G=jax.device_put(state.opt_G, rep),
-        opt_D=jax.device_put(state.opt_D, rep),
-        itr=jax.device_put(state.itr, rep))
+        params_G=put_tree(state.params_G),
+        params_D=put_tree(state.params_D),
+        params_G_ema=put_tree(state.params_G_ema),
+        state_G=put_rep(state.state_G),
+        state_D=put_rep(state.state_D),
+        state_G_ema=put_rep(state.state_G_ema),
+        opt_G=put_tree(state.opt_G),
+        opt_D=put_tree(state.opt_D),
+        itr=put_rep(state.itr))

@@ -129,8 +129,9 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
     # split_D=False runs one concatenated D pass. NOTE a documented deviation:
     # the reference's concat mode feeds the mixed [fake; real] batch to the
     # RRM as ONE 80-long sequence (model.py:918 h.unsqueeze(0)); here the RRM
-    # always operates per event (fake and real events as separate sequences),
-    # preserving the intra-event semantics in both modes.
+    # by default operates per event (fake and real events as separate
+    # sequences), preserving the intra-event semantics in both modes. Set
+    # config["rrm_full_batch_sequence"]=True for reference bit-parity.
     split_D = bool(config["split_D"])
     num_D_steps = int(config["num_D_steps"])
     num_D_acc = int(config["num_D_accumulations"])

@@ -121,15 +121,17 @@ def main():
     tx = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps))
     opt_state = tx.init(params)
 
-    def batch_from_idx(idx):
-        x = d_imgs[idx].astype(jnp.float32) / 255.0  # raw [0,1] pixel space
-        return jax_resize_single_channel(x), d_labels[idx]
+    # The dataset tensors are jit ARGUMENTS (device-resident, zero per-call
+    # cost) — closing over them would bake 2.3GB of constants into the HLO.
+    def batch_from_idx(data, lbl, idx):
+        x = data[idx].astype(jnp.float32) / 255.0  # raw [0,1] pixel space
+        return jax_resize_single_channel(x), lbl[idx]
 
     @jax.jit
-    def train_step(params, opt_state, key):
-        idx = d_train_idx[jax.random.randint(
-            key, (args.batch,), 0, d_train_idx.shape[0])]
-        x, y = batch_from_idx(idx)
+    def train_step(params, opt_state, data, lbl, tr_idx, key):
+        idx = tr_idx[jax.random.randint(
+            key, (args.batch,), 0, tr_idx.shape[0])]
+        x, y = batch_from_idx(data, lbl, idx)
 
         def loss_fn(p):
             logits = model.apply({"params": p}, x)
@@ -143,8 +145,8 @@ def main():
                 jnp.stack([loss, acc]))
 
     @jax.jit
-    def eval_batch(params, idx):
-        x, y = batch_from_idx(idx)
+    def eval_batch(params, data, lbl, idx):
+        x, y = batch_from_idx(data, lbl, idx)
         logits = model.apply({"params": params}, x)
         return jnp.mean(jnp.argmax(logits, -1) == y)
 
@@ -152,7 +154,8 @@ def main():
     t0 = time.time()
     for step in range(args.steps):
         key, sub = jax.random.split(key)
-        params, opt_state, metrics = train_step(params, opt_state, sub)
+        params, opt_state, metrics = train_step(
+            params, opt_state, d_imgs, d_labels, d_train_idx, sub)
         if step % 50 == 0:
             loss, acc = np.asarray(metrics)  # one packed fetch
             print(f"step {step}: loss {loss:.4f} acc {acc:.3f} "
@@ -163,7 +166,8 @@ def main():
     eb = args.batch
     for i in range(0, len(val_idx) - eb + 1, eb):
         accs.append(float(eval_batch(
-            params, jnp.asarray(val_idx[i:i + eb].astype(np.int32)))))
+            params, d_imgs, d_labels,
+            jnp.asarray(val_idx[i:i + eb].astype(np.int32)))))
     val_acc = float(np.mean(accs)) if accs else float("nan")
     print(f"validation accuracy: {val_acc:.4f} over {len(accs) * eb} images")
 

@@ -93,6 +93,42 @@ class TestLoader:
                 break  # generator close must not deadlock the producer
 
 
+class TestProcessSharding:
+    def test_disjoint_complete_coverage(self, png_tree):
+        """Two simulated processes split the global shuffle disjointly and
+        completely (multi-host data sharding, SURVEY §2.2)."""
+        root, *_ = png_tree
+        covered = []
+        for pid in (0, 1):
+            ds = ImageEventsDataset(str(root), seed=3)
+            loader = EventLoader(ds, num_workers=2, shuffle=True, seed=3,
+                                 events_per_batch=2, process_index=pid,
+                                 process_count=2)
+            order = loader._order()
+            assert len(loader) == len(ds) // 2 // 1  # epb_local = 1
+            covered.append(set(order.tolist()))
+        assert covered[0] & covered[1] == set()
+        assert covered[0] | covered[1] == set(range(len(ds)))
+
+    def test_local_batch_rows(self, png_tree):
+        root, *_ = png_tree
+        ds = ImageEventsDataset(str(root), seed=0)
+        loader = EventLoader(ds, num_workers=2, shuffle=False,
+                             events_per_batch=2, process_index=1,
+                             process_count=2)
+        imgs, labels = next(iter(loader))
+        # each process decodes epb_local=1 event -> n_sensors rows
+        assert imgs.shape[0] == ds.n_sensors
+        assert labels.shape[0] == ds.n_sensors
+
+    def test_rejects_indivisible_epb(self, png_tree):
+        root, *_ = png_tree
+        ds = ImageEventsDataset(str(root), seed=0)
+        with pytest.raises(ValueError):
+            EventLoader(ds, events_per_batch=3, process_index=0,
+                        process_count=2)
+
+
 def test_make_synthetic_dataset_script(tmp_path):
     """The synthetic-dataset minting script produces a loadable event tree."""
     import subprocess, sys, os

@@ -29,6 +29,46 @@ class TestResize:
         np.testing.assert_array_equal(out[..., 0], out[..., 1])
         np.testing.assert_array_equal(out[..., 0], out[..., 2])
 
+    def test_jax_matches_pil_bicubic(self):
+        """The fid-Copy_255 variant's bicubic resize
+        (reference: fid-Copy_255.py:152)."""
+        rng = np.random.RandomState(2)
+        x = rng.rand(2, 250, 768).astype(np.float32) * 255.0
+        ref = pil_resize_batch(x, interp="bicubic")
+        got = np.asarray(jax_resize_single_channel(jnp.asarray(x),
+                                                   interp="bicubic"))
+        assert got.shape == ref.shape == (2, 299, 299, 3)
+        assert np.abs(got - ref).max() < 5e-3 * 255.0
+        # bicubic must actually differ from bilinear
+        bil = pil_resize_batch(x, interp="bilinear")
+        assert np.abs(ref - bil).max() > 1e-3
+
+
+class TestClean255Mode:
+    def test_folder_fid_mode_variant(self, tmp_path):
+        """mode="clean_255" flows through folder features and changes the
+        features (bicubic, [0,255] inputs — fid-Copy_255.py)."""
+        from PIL import Image
+        rng = np.random.RandomState(3)
+        for sub in ["a", "b"]:
+            (tmp_path / sub).mkdir()
+            for i in range(3):
+                arr = (rng.rand(60, 80) * 255).astype(np.uint8)
+                Image.fromarray(arr, mode="L").save(
+                    tmp_path / sub / f"{i}.png")
+        ex = fid_mod.FeatureExtractor(seed=0)
+        f_clean = fid_mod.get_folder_features(str(tmp_path / "a"), ex,
+                                              batch_size=4, mode="clean")
+        f_255 = fid_mod.get_folder_features(str(tmp_path / "a"), ex,
+                                            batch_size=4, mode="clean_255")
+        assert f_clean.shape == f_255.shape == (3, 2048)
+        assert np.abs(f_clean - f_255).max() > 1e-6
+        fid = fid_mod.compute_fid(fdir1=str(tmp_path / "a"),
+                                  fdir2=str(tmp_path / "b"),
+                                  extractor=ex, batch_size=4,
+                                  mode="clean_255")
+        assert np.isfinite(fid)
+
 
 class TestFrechet:
     def test_zero_for_identical(self):

@@ -112,6 +112,31 @@ class TestTinyForward:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
 
 
+def test_rrm_full_batch_sequence_flag():
+    """rrm_full_batch_sequence=True makes RR_D attend across the WHOLE
+    batch (reference bit-parity, model.py:918 h.unsqueeze(0)); default
+    keeps per-event sequences isolated."""
+    from tests.helpers import tiny_config
+    from ieagan_tpu.models import Discriminator
+    cfg = tiny_config(events_per_batch=2)
+    es = cfg["n_classes"]
+    shape = (2 * es, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1)
+    x = jax.random.uniform(jax.random.PRNGKey(0), shape, minval=-1, maxval=1)
+    y = jnp.tile(jnp.arange(es), 2)
+    # perturb only the SECOND event's pixels
+    x2 = x.at[es:].set(-x[es:])
+
+    for full_batch, expect_cross in [(False, False), (True, True)]:
+        D = Discriminator.from_config(
+            dict(cfg, rrm_full_batch_sequence=full_batch))
+        dv = D.init({"params": jax.random.PRNGKey(1)}, x, y, train=False)
+        _, e_a, _ = D.apply(dv, x, y, train=False)
+        _, e_b, _ = D.apply(dv, x2, y, train=False)
+        # embeddings of the FIRST (unperturbed) event
+        changed = bool(jnp.any(jnp.abs(e_a[:es] - e_b[:es]) > 1e-6))
+        assert changed == expect_cross, (full_batch, changed)
+
+
 def test_prior_embed_ablation_constructs_and_runs():
     """PEGAN-style prior conditioning (reference: eval_all.py:59-62)."""
     from ieagan_tpu.ops.prior import set_prior_features

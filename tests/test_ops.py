@@ -281,6 +281,38 @@ class TestMoreLosses:
             dv, real, fake, y, jax.random.PRNGKey(3))
         assert np.isfinite(float(gp)) and float(gp) >= 0.0
 
+    def test_gradient_penalty_dragan_runs(self):
+        """DRAGAN variant (reference: loss.py:232-265 calc_derv4dra)."""
+        from tests.helpers import tiny_config
+        from ieagan_tpu.models import Discriminator
+        cfg = tiny_config()
+        D = Discriminator.from_config(cfg)
+        B = cfg["n_classes"] * cfg["events_per_batch"]
+        shape = (B, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1)
+        real = jax.random.uniform(jax.random.PRNGKey(0), shape, minval=-1, maxval=1)
+        y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+        dv = D.init({"params": jax.random.PRNGKey(2)}, real, y, train=False)
+        gp = losses.gradient_penalty_dragan(
+            lambda v, xx, yy: D.apply(v, xx, yy, train=False),
+            dv, real, y, jax.random.PRNGKey(3))
+        assert np.isfinite(float(gp)) and float(gp) >= 0.0
+
+    def test_latent_gradient_norm_closed_form(self):
+        """For linear G and scoring, the z-gradient is the composed matrix
+        (reference: loss.py:268-293 calc_derv)."""
+        rng = np.random.RandomState(0)
+        W = rng.randn(6, 4).astype(np.float32)   # z (B,6) -> img (B,4)
+        v = rng.randn(4).astype(np.float32)      # score = img @ v
+        z = rng.randn(3, 6).astype(np.float32)
+        g_apply = lambda zz, yy: zz @ jnp.asarray(W)
+        d_apply = lambda img, yy: (None, None, img @ jnp.asarray(v))
+        grads, gnorm = losses.latent_gradient_norm(
+            g_apply, d_apply, jnp.asarray(z), None)
+        want = np.tile(W @ v, (3, 1))
+        np.testing.assert_allclose(np.asarray(grads), want, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gnorm)[:, 0], np.sum(want ** 2, axis=1), rtol=1e-5)
+
 
 class TestEmaGating:
     def test_decay_zero_before_start(self):
