@@ -188,6 +188,19 @@ def main():
         except Exception as e:
             log(f"train benchmark failed: {e}")
 
+    # Compiled-Mosaic Pallas kernel regression check (fwd+bwd numerics vs
+    # XLA at both model call-site shapes) — the CPU suite only covers the
+    # interpreter path; drift in the real kernel is caught here.
+    if backend == "tpu" and os.environ.get("BENCH_PALLAS_CHECK", "1") != "0":
+        try:
+            from ieagan_tpu.ops.pallas.selfcheck import run_check
+            extra["pallas_check_max_rel_err"] = max(
+                run_check(dtype=jnp.bfloat16).values())
+            log(f"pallas selfcheck OK ({extra['pallas_check_max_rel_err']})")
+        except Exception as e:
+            extra["pallas_check_error"] = str(e)[:200]
+            log(f"pallas selfcheck FAILED: {e}")
+
     print(json.dumps({
         "metric": "generate_events_per_sec",
         "value": round(events_per_sec, 4),

@@ -174,6 +174,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # FID pipeline variant: "clean" (bilinear, [0,1] — mycleanfid/fid.py) or
     # "clean_255" (bicubic, [0,255] — mycleanfid/fid-Copy_255.py).
     "fid_mode": "clean",
+    # FID feature-extractor weights: a path, or "auto" = the finetuned PXD
+    # backbone stats/inception_pxd.msgpack when present (the re-minted
+    # analog of the reference's inception_V3_best.pt), else random-init.
+    "fid_backbone": "auto",
     # Reference bit-parity for RR_D/RR_Dproxy: treat the whole D input batch
     # as ONE sequence (model.py:918,930) instead of per-event sequences.
     "rrm_full_batch_sequence": False,

@@ -358,6 +358,26 @@ def make_generator_fn(G, params, state, config, trunc: float | None = None,
     return gen_many
 
 
+_EXTRACTOR_CACHE: dict = {}
+
+
+def default_extractor(config=None) -> FeatureExtractor:
+    """The metric-defining extractor: config["fid_backbone"] path, or
+    ("auto") the finetuned PXD backbone stats/inception_pxd.msgpack when it
+    exists (the re-minted analog of the reference's inception_V3_best.pt,
+    mycleanfid/fid.py:33-64), else the deterministic random-init fallback.
+    Cached per path — the driver hook runs every test_every steps and the
+    backbone is ~87MB."""
+    backbone = (config or {}).get("fid_backbone", "auto")
+    if backbone == "auto":
+        cand = os.path.join(STATS_DIR, "inception_pxd.msgpack")
+        backbone = cand if os.path.exists(cand) else None
+    if backbone not in _EXTRACTOR_CACHE:
+        _EXTRACTOR_CACHE[backbone] = FeatureExtractor(weights_path=backbone,
+                                                      seed=0)
+    return _EXTRACTOR_CACHE[backbone]
+
+
 def compute_fid_from_state(G, train_state, config):
     """Driver hook (reference: train_fns.py:209-233): FID of the (EMA)
     generator vs the configured dataset stats."""
@@ -375,4 +395,5 @@ def compute_fid_from_state(G, train_state, config):
         num_gen=int(config.get("num_incep_images", 16000)),
         batch_size=int(config["n_classes"]) * int(config.get("events_per_batch", 1)),
         rng=jax.random.PRNGKey(int(config.get("seed", 0))),
+        extractor=default_extractor(config),
         mode=config.get("fid_mode", "clean"))

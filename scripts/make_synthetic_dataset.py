@@ -53,13 +53,20 @@ def main():
     ap.add_argument("--height", type=int, default=250)
     ap.add_argument("--width", type=int, default=192)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--event-seed", type=int, default=None,
+                    help="seed for the event noise stream; the sensor "
+                         "profiles stay pinned to --seed, so a different "
+                         "--event-seed mints a test split of the SAME "
+                         "detector (fresh events, identical occupancies)")
     args = ap.parse_args()
 
     from PIL import Image
-    rng = np.random.default_rng(args.seed)
+    profile_rng = np.random.default_rng(args.seed)
     # per-sensor occupancy / cluster-rate profiles (inner sensors busier)
-    occ = 10 ** rng.uniform(-3.3, -2.6, args.sensors)
-    clusters = rng.uniform(10, 60, args.sensors)
+    occ = 10 ** profile_rng.uniform(-3.3, -2.6, args.sensors)
+    clusters = profile_rng.uniform(10, 60, args.sensors)
+    rng = (profile_rng if args.event_seed is None
+           else np.random.default_rng(args.event_seed))
     for s in range(args.sensors):
         layer = 1 if s < args.sensors // 2 else 2
         ladder = (s % (args.sensors // 2)) // 2 + 1

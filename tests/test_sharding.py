@@ -85,6 +85,42 @@ def test_data_parallel_train_step(mesh8):
     assert len(xs.sharding.device_set) >= 4
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("split_D", [True, False])
+def test_flagship_shape_sharded_compile(mesh8, split_D):
+    """Sharded compile+run at flagship-like shapes (round-1 VERDICT weak #6):
+    128px rectangular (H_base=3 -> 128x384), bf16 compute, 8 events over the
+    data axis, remat on, Pallas interpreter attention, both split_D modes.
+    Catches sharded-compile regressions the 32px toy dryrun can't."""
+    import os
+    os.environ["IEAGAN_PALLAS_INTERPRET"] = "1"
+    try:
+        cfg = tiny_config(
+            resolution=128, H_base=3, G_ch=16, D_ch=16, G_depth=2, D_depth=2,
+            n_classes=8, events_per_batch=8, compute_dtype="bfloat16",
+            remat=True, split_D=split_D, use_pallas_attention=True,
+            G_attn="0", D_attn="16", rdof_dim=4)
+        G = Generator.from_config(cfg, dtype=jnp.bfloat16)
+        D = Discriminator.from_config(cfg, dtype=jnp.bfloat16)
+        state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+        state = place_state(state, mesh8, tensor_parallel=True)
+        step = make_sharded_train_step(G, D, cfg, mesh8, tensor_parallel=True)
+        B = cfg["n_classes"] * cfg["events_per_batch"]
+        # width = resolution * H_base = 384
+        x = jax.random.uniform(
+            jax.random.PRNGKey(1),
+            (B, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1),
+            minval=-1, maxval=1)
+        y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+        new_state, mets = step(state, x, y, jax.random.PRNGKey(2))
+        jax.block_until_ready(new_state.params_G)
+        assert int(new_state.itr) == 1
+        for k, v in mets.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+    finally:
+        os.environ.pop("IEAGAN_PALLAS_INTERPRET", None)
+
+
 def test_global_bn_equals_single_device(mesh8):
     """BN moments must be computed over the GLOBAL batch under the sharded
     jit — the TPU-native cross-replica BN story (SURVEY.md §2.2)."""
