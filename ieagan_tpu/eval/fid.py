@@ -229,15 +229,20 @@ def get_reference_statistics(name: str, mode: str = "clean",
 def make_custom_stats(name: str, fdir: str, num=None, mode: str = "clean",
                       batch_size: int = 64,
                       extractor: FeatureExtractor | None = None,
-                      overwrite: bool = False) -> str:
+                      overwrite: bool = False,
+                      resize_on_device: bool = False) -> str:
     """Mint mu/sigma reference stats from a folder of real images
-    (reference: fid.py:832-867)."""
+    (reference: fid.py:832-867). resize_on_device trades the PIL host
+    resize for the validated on-device equivalent (use it when the FID
+    consumer also resizes on device — self-consistent and ~20x faster on
+    a 1-core host)."""
     extractor = extractor or FeatureExtractor()
     path = _stats_path(name, mode)
     if os.path.exists(path) and not overwrite:
         raise FileExistsError(f"statistics file {path} already exists")
     feats = get_folder_features(fdir, extractor, num=num,
-                                batch_size=batch_size, mode=mode)
+                                batch_size=batch_size, mode=mode,
+                                resize_on_device=resize_on_device)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, mu=np.mean(feats, axis=0),
                         sigma=np.cov(feats, rowvar=False))
@@ -249,7 +254,8 @@ def make_custom_stats(name: str, fdir: str, num=None, mode: str = "clean",
 def make_custom_kid_stats(name: str, fdir: str, num=None, mode: str = "clean",
                           batch_size: int = 64,
                           extractor: FeatureExtractor | None = None,
-                          overwrite: bool = False) -> str:
+                          overwrite: bool = False,
+                          resize_on_device: bool = False) -> str:
     """Mint raw-feature KID stats ("<name>_<mode>_custom_na_kid.npz",
     reference: fid.py:402-407)."""
     extractor = extractor or FeatureExtractor()
@@ -257,7 +263,8 @@ def make_custom_kid_stats(name: str, fdir: str, num=None, mode: str = "clean",
     if os.path.exists(path) and not overwrite:
         raise FileExistsError(f"statistics file {path} already exists")
     feats = get_folder_features(fdir, extractor, num=num,
-                                batch_size=batch_size, mode=mode)
+                                batch_size=batch_size, mode=mode,
+                                resize_on_device=resize_on_device)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, feats=feats)
     return path

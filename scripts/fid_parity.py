@@ -103,6 +103,88 @@ class TorchFeatureShim:
         return self
 
 
+def run_shared_z(args, ref_fid, ref_g, G, params, state, extractor,
+                 stats_path):
+    """Both pipelines on IDENTICAL z/label batches (torch trunc-trick draws,
+    the reference's exact z distribution, fid.py:637-643). The residual FID
+    difference is purely implementation: model numerics (converter-parity
+    <5e-4 px), postprocess, resize (PIL vs on-device), feature extraction,
+    covariance + sqrtm Fréchet."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from ieagan_tpu.eval import fid as fid_mod
+
+    batches = []
+    torch.manual_seed(123)
+    for _ in range(args.num_gen // 40):
+        z = ref_fid.trunc_trick(40, GEN_CFG["dim_z"], bound=1)
+        y = torch.randperm(40)
+        batches.append((z, y))
+
+    # ---- reference side: their loop (fid.py:654-703) with the fixed draws,
+    # using their thresh/postprocess/resizer functions verbatim
+    resizer = ref_fid.build_resizer("clean")
+    feats_ref = []
+    t0 = time.time()
+    with torch.no_grad():
+        for z, y in batches:
+            img = ref_g(z, y)
+            img = ref_fid.thresh(img)
+            img = img.mul_(0.5).add_(0.5)
+            img = torch.pow(256, img).add_(-1).div_(255).clamp_(0, 1)
+            img = img[:, 0, 3:-3, :].unsqueeze(1)
+            resized = torch.zeros(img.shape[0], 3, 299, 299)
+            for i in range(img.shape[0]):
+                r = resizer(img[i].cpu().numpy().transpose(1, 2, 0))
+                resized[i] = torch.tensor(r.transpose(2, 0, 1))
+            x = resized.numpy().transpose(0, 2, 3, 1)
+            feats_ref.append(extractor(x))
+    feats_ref = np.concatenate(feats_ref)
+    t_ref = time.time() - t0
+
+    # ---- our side: our pipeline functions on the same draws
+    apply_fn = jax.jit(lambda z, y: G.apply(
+        {"params": params, **state}, z, y, train=False,
+        rngs={"rdof": jax.random.PRNGKey(0)}))
+    post = jax.jit(fid_mod.fid_postprocess)
+    resize = jax.jit(fid_mod.jax_resize_single_channel)
+    feats_ours = []
+    t0 = time.time()
+    for z, y in batches:
+        imgs = apply_fn(jnp.asarray(z.numpy()), jnp.asarray(y.numpy()))
+        imgs01 = post(imgs)
+        batch299 = (fid_mod.pil_resize_batch(np.asarray(imgs01))
+                    if args.host_resize else resize(imgs01))
+        feats_ours.append(extractor(np.asarray(batch299)))
+    feats_ours = np.concatenate(feats_ours)
+    t_ours = time.time() - t0
+
+    mu_sigma = np.load(stats_path)
+    mu_r, sig_r = mu_sigma["mu"], mu_sigma["sigma"]
+    fid_ref_v = float(ref_fid.frechet_distance(
+        np.mean(feats_ref, 0), np.cov(feats_ref, rowvar=False), mu_r, sig_r))
+    fid_ours_v = fid_mod.frechet_distance(
+        np.mean(feats_ours, 0), np.cov(feats_ours, rowvar=False), mu_r, sig_r)
+    rel = abs(fid_ours_v - fid_ref_v) / max(abs(fid_ref_v), 1e-9)
+    feat_rel = float(np.linalg.norm(feats_ours - feats_ref)
+                     / (np.linalg.norm(feats_ref) + 1e-12))
+    print(json.dumps({
+        "mode": "shared_z", "fid_reference": round(fid_ref_v, 4),
+        "fid_ours": round(fid_ours_v, 4), "rel_diff": round(rel, 5),
+        "feature_rel_err": round(feat_rel, 5), "num_gen": args.num_gen,
+        "host_resize": args.host_resize, "backbone": extractor.source,
+        "ref_seconds": round(t_ref, 1), "ours_seconds": round(t_ours, 1)}))
+    if rel > args.tolerance:
+        print(f"PARITY FAIL: rel_diff {rel:.4f} > {args.tolerance}",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"PARITY OK: rel_diff {rel:.4f} <= {args.tolerance}",
+          file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-gen", type=int, default=4000)
@@ -116,6 +198,20 @@ def main():
     ap.add_argument("--num-real", type=int, default=2000)
     ap.add_argument("--tolerance", type=float, default=0.01)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--host-resize", action="store_true",
+                    help="our pipeline resizes on host with PIL (the "
+                         "reference's exact path) instead of on device")
+    ap.add_argument("--seeds", default="7",
+                    help="comma-separated jax seeds for our pipeline; >1 "
+                         "seeds also reports the generation-RNG noise floor")
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="skip the (slow torch) reference side; only run "
+                         "ours across --seeds")
+    ap.add_argument("--shared-z", action="store_true",
+                    help="feed the SAME torch-sampled z/labels through both "
+                         "pipelines — removes generation-RNG sampling noise "
+                         "so the residual isolates postprocess + resize + "
+                         "extractor + Fréchet implementation parity")
     args = ap.parse_args()
 
     import jax
@@ -171,46 +267,69 @@ def main():
     params = variables["params"]
     state = {k: v for k, v in variables.items() if k != "params"}
 
+    if args.shared_z:
+        run_shared_z(args, ref_fid, ref_g, G, params, state, extractor,
+                     stats_path)
+        return
+
     # ---- reference pipeline number (their code, our stats file injected —
     # their loader hardcodes the read-only module dir, fid.py:396-401)
-    mu_sigma = np.load(stats_path)
-    ref_fid.get_reference_statistics = (
-        lambda *a, **k: (mu_sigma["mu"], mu_sigma["sigma"]))
-    shim = TorchFeatureShim(extractor)
-    t0 = time.time()
-    with torch.no_grad():
-        fid_ref = float(ref_fid.fid_model(
-            ref_g, stats_name, "na", "custom", model=shim,
-            z_dim=GEN_CFG["dim_z"], trunc=1, num_gen=args.num_gen,
-            mode="clean", batch_size=40, device=torch.device("cpu")))
-    t_ref = time.time() - t0
-    print(f"reference pipeline: FID {fid_ref:.4f} in {t_ref:.0f}s",
-          file=sys.stderr)
+    fid_ref = t_ref = None
+    if not args.skip_ref:
+        mu_sigma = np.load(stats_path)
+        ref_fid.get_reference_statistics = (
+            lambda *a, **k: (mu_sigma["mu"], mu_sigma["sigma"]))
+        shim = TorchFeatureShim(extractor)
+        t0 = time.time()
+        with torch.no_grad():
+            fid_ref = float(ref_fid.fid_model(
+                ref_g, stats_name, "na", "custom", model=shim,
+                z_dim=GEN_CFG["dim_z"], trunc=1, num_gen=args.num_gen,
+                mode="clean", batch_size=40, device=torch.device("cpu")))
+        t_ref = time.time() - t0
+        print(f"reference pipeline: FID {fid_ref:.4f} in {t_ref:.0f}s",
+              file=sys.stderr)
 
-    # ---- our pipeline number
+    # ---- our pipeline number(s)
     cfg = dict(GEN_CFG, events_per_batch=1, use_pallas_attention=False)
     gen = fid_mod.make_generator_fn(G, params, state, cfg, trunc=1.0,
                                     chunks=8)
-    t0 = time.time()
-    fid_ours = float(fid_mod.compute_fid(
-        gen, dataset_name=stats_name, num_gen=args.num_gen, batch_size=40,
-        rng=jax.random.PRNGKey(7), extractor=extractor))
-    t_ours = time.time() - t0
-    print(f"our pipeline: FID {fid_ours:.4f} in {t_ours:.0f}s",
-          file=sys.stderr)
+    seeds = [int(s) for s in str(args.seeds).split(",") if s != ""]
+    fids_ours, t_ours = [], 0.0
+    for seed in seeds:
+        t0 = time.time()
+        fids_ours.append(float(fid_mod.compute_fid(
+            gen, dataset_name=stats_name, num_gen=args.num_gen,
+            batch_size=40, rng=jax.random.PRNGKey(seed),
+            extractor=extractor,
+            resize_on_device=not args.host_resize)))
+        t_ours = time.time() - t0
+        print(f"our pipeline (seed {seed}): FID {fids_ours[-1]:.4f} "
+              f"in {t_ours:.0f}s", file=sys.stderr)
+    fid_ours = fids_ours[0]
 
-    rel = abs(fid_ours - fid_ref) / max(abs(fid_ref), 1e-9)
-    print(json.dumps({
-        "fid_reference": round(fid_ref, 4), "fid_ours": round(fid_ours, 4),
-        "rel_diff": round(rel, 5), "num_gen": args.num_gen,
-        "backbone": extractor.source,
-        "ref_seconds": round(t_ref, 1), "ours_seconds": round(t_ours, 1)}))
-    if rel > args.tolerance:
-        print(f"PARITY FAIL: rel_diff {rel:.4f} > {args.tolerance}",
+    out = {"fid_ours": round(fid_ours, 4), "num_gen": args.num_gen,
+           "backbone": extractor.source, "host_resize": args.host_resize,
+           "ours_seconds": round(t_ours, 1)}
+    if len(fids_ours) > 1:
+        # generation-RNG sampling noise floor: spread across our own seeds
+        arr = np.asarray(fids_ours)
+        out["ours_seed_spread_rel"] = round(
+            float((arr.max() - arr.min()) / arr.mean()), 5)
+        out["fid_ours_all"] = [round(f, 4) for f in fids_ours]
+    if fid_ref is not None:
+        rel = abs(fid_ours - fid_ref) / max(abs(fid_ref), 1e-9)
+        out.update({"fid_reference": round(fid_ref, 4),
+                    "rel_diff": round(rel, 5),
+                    "ref_seconds": round(t_ref, 1)})
+    print(json.dumps(out))
+    if fid_ref is not None:
+        if rel > args.tolerance:
+            print(f"PARITY FAIL: rel_diff {rel:.4f} > {args.tolerance}",
+                  file=sys.stderr)
+            sys.exit(1)
+        print(f"PARITY OK: rel_diff {rel:.4f} <= {args.tolerance}",
               file=sys.stderr)
-        sys.exit(1)
-    print(f"PARITY OK: rel_diff {rel:.4f} <= {args.tolerance}",
-          file=sys.stderr)
 
 
 if __name__ == "__main__":

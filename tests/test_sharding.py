@@ -117,8 +117,13 @@ def test_flagship_shape_sharded_compile(mesh8, split_D):
         assert int(new_state.itr) == 1
         for k, v in mets.items():
             assert np.isfinite(float(v)), f"{k} not finite"
+        del new_state, state, step
     finally:
         os.environ.pop("IEAGAN_PALLAS_INTERPRET", None)
+        # each parametrization holds a multi-hundred-MB CPU executable;
+        # running both plus the rest of the file in one process has crashed
+        # the interpreter — drop compiled programs eagerly.
+        jax.clear_caches()
 
 
 def test_global_bn_equals_single_device(mesh8):
