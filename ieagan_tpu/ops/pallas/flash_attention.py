@@ -214,6 +214,23 @@ def _pick_tq(lq: int) -> int:
     return _round_up(lq, 8)
 
 
+# The backward kernel keeps the whole padded q-length (q, do, o, dq) plus
+# k/v/dk/dv and (tq, lkp) temporaries resident per grid step — deliberate
+# for this model's sites (Lq<=3072, dk=16, dv<=64: ~1MB), not shape-general.
+# Shapes whose residency estimate exceeds this budget take the XLA path
+# instead of failing inside Mosaic.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _bwd_vmem_estimate(lq: int, lkv: int, dk: int, dv: int, tq: int) -> int:
+    lqp, lkp = _round_up(lq, tq), _round_up(lkv, 8)
+    f32 = 4
+    q_side = lqp * (2 * dk + 2 * dv + 1)      # q, dq, do, o, lse
+    kv_side = 2 * lkp * (dk + dv)             # k, v, dk, dv accumulators
+    temps = 3 * tq * lkp + tq * (dk + dv)     # s/p, dp, ds, dq tile
+    return (q_side + kv_side + temps) * f32
+
+
 def flash_attention(q, k, v, *, scale: float = 1.0, interpret: bool | None = None):
     """Fused attention over the last three axes; leading axes are batch.
 
@@ -229,6 +246,10 @@ def flash_attention(q, k, v, *, scale: float = 1.0, interpret: bool | None = Non
     lead = q.shape[:-2]
     lq, dk = q.shape[-2:]
     lkv, dv = k.shape[-2], v.shape[-1]
+    if (not interpret
+            and _bwd_vmem_estimate(lq, lkv, dk, dv, _pick_tq(lq))
+            > _VMEM_BUDGET_BYTES):
+        return _xla_attention(q, k, v, scale)
     b = 1
     for s in lead:
         b *= s

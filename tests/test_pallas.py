@@ -72,6 +72,28 @@ def test_bfloat16_inputs():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_vmem_guard_envelope():
+    """Model call-site shapes stay inside the kernel's VMEM residency
+    envelope; out-of-envelope shapes route to the XLA path rather than
+    failing inside Mosaic (the bwd kernel keeps the whole padded q-length
+    resident by design — not shape-general)."""
+    from ieagan_tpu.ops.pallas.flash_attention import (
+        _bwd_vmem_estimate, _pick_tq, _VMEM_BUDGET_BYTES)
+    for lq, lkv, dk, dv in [(40, 40, 64, 64),       # RRM
+                            (3072, 768, 16, 64)]:   # D image attention
+        est = _bwd_vmem_estimate(lq, lkv, dk, dv, _pick_tq(lq))
+        assert est <= _VMEM_BUDGET_BYTES, (lq, est)
+    big = _bwd_vmem_estimate(65536, 768, 64, 512, _pick_tq(65536))
+    assert big > _VMEM_BUDGET_BYTES
+    # out-of-envelope call still computes correctly (via the XLA fallback;
+    # interpret=None exercises the dispatch logic itself)
+    q, k, v = _rand((1, 64, 8), 20), _rand((1, 16384, 8), 21), _rand((1, 16384, 600), 22)
+    want = _xla_attention(q, k, v, 1.0)
+    got = flash_attention(q, k, v, scale=1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_kernel_through_model_path(monkeypatch):
     """The attention modules route through the Pallas kernel (interpreter
     mode on CPU) and reproduce the XLA-path forward."""
