@@ -198,6 +198,9 @@ def main():
     ap.add_argument("--num-real", type=int, default=2000)
     ap.add_argument("--tolerance", type=float, default=0.01)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--precision", default=None,
+                    choices=[None, "default", "high", "highest"],
+                    help="jax_default_matmul_precision for our side")
     ap.add_argument("--host-resize", action="store_true",
                     help="our pipeline resizes on host with PIL (the "
                          "reference's exact path) instead of on device")
@@ -217,6 +220,10 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.precision:
+        # "highest" = true fp32 matmuls on TPU (default is bf16-pass MXU) —
+        # isolates TPU matmul rounding from pipeline differences
+        jax.config.update("jax_default_matmul_precision", args.precision)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     import jax.numpy as jnp
