@@ -189,6 +189,103 @@ def convert_torch_discriminator(state_dict: dict, d_depth: int = 2) -> dict:
     return {"params": params, "spectral": spectral}
 
 
+def _get(tree: Any, path: list[str]):
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def export_generator_to_torch(variables: dict, template_state_dict: dict,
+                              g_depth: int = 2) -> dict:
+    """Inverse of convert_torch_generator: produce a reference-layout torch
+    Generator state dict (numpy arrays) from our flax variables, so models
+    trained in this framework can be loaded by the reference implementation
+    (reference: model.py:139-487) — e.g. for metric cross-validation or for
+    users migrating back.
+
+    Template-driven: every key of `template_state_dict` (an initialized
+    reference Generator's state_dict) is filled from the flax tree via the
+    same path mapping as the forward converter; keys with no flax
+    counterpart (accumulation counters) keep their template values."""
+    params = variables.get("params", {})
+    spectral = variables.get("spectral", {})
+    batch_stats = variables.get("batch_stats", {})
+
+    def module_path(parts: list[str]) -> list[str]:
+        if parts[0] == "blocks":
+            k, j = int(parts[1]), int(parts[2])
+            name = f"blocks_{k // g_depth}_{k % g_depth}"
+            if j > 0:
+                name = f"attn_{k // g_depth}"
+            return [name] + parts[3:]
+        if parts[0] == "output_layer":
+            return (["output_bn"] if parts[1] == "0" else ["output_conv"]) \
+                + parts[2:]
+        if parts[0] == "RR_G":
+            rest = parts[1:]
+            out = ["RR_G"]
+            i = 0
+            while i < len(rest):
+                p = rest[i]
+                if p == "layers":
+                    out.append(f"layers_{rest[i + 1]}")
+                    i += 2
+                elif p == "linear_net":
+                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
+                    i += 2
+                else:
+                    out.append(p)
+                    i += 1
+            return out
+        return parts
+
+    out_sd: dict = {}
+    for key, tmpl in template_state_dict.items():
+        tshape = tuple(getattr(tmpl, "shape", ()))
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = module_path(parts[:-1])
+        v = None
+        if leaf == "weight":
+            if len(tshape) == 4:
+                k = _get(params, path + ["kernel"])
+                v = None if k is None else np.asarray(k).transpose(3, 2, 0, 1)
+            elif (path and path[-1] == "shared") or parts[0] == "shared":
+                v = _get(params, path + ["embedding"])
+            else:
+                k = _get(params, path + ["kernel"])
+                if k is not None:
+                    v = np.asarray(k).T
+                else:  # LayerNorm / norm scale
+                    v = _get(params, path + ["scale"])
+        elif leaf == "bias":
+            v = _get(params, path + ["bias"])
+        elif leaf == "gain":
+            v = _get(params, path + ["gain"])
+        elif leaf.startswith("u") and leaf[1:].isdigit():
+            u = _get(spectral, path + ["u"])
+            if u is not None:
+                v = np.asarray(u)[int(leaf[1:])]
+        elif leaf.startswith("sv") and leaf[1:].isdigit():
+            sv = _get(spectral, path + ["sv"])
+            if sv is not None:
+                v = np.asarray(sv).reshape(-1)[int(leaf[2:])]
+        elif leaf == "stored_mean":
+            v = _get(batch_stats, path + ["mean"])
+        elif leaf == "stored_var":
+            v = _get(batch_stats, path + ["var"])
+        elif leaf == "gamma":
+            v = _get(params, path + ["gamma"])
+        if v is None:
+            out_sd[key] = np.asarray(tmpl)  # counters etc.: keep defaults
+        else:
+            out_sd[key] = np.asarray(v, np.float32).reshape(tshape)
+    return out_sd
+
+
 def load_into_variables(variables: dict, converted: dict) -> dict:
     """Overlay converted arrays onto an initialized variables tree (keeps
     any leaves the conversion does not cover, e.g. sv logging buffers and

@@ -204,6 +204,14 @@ def main():
     ap.add_argument("--host-resize", action="store_true",
                     help="our pipeline resizes on host with PIL (the "
                          "reference's exact path) instead of on device")
+    ap.add_argument("--checkpoint", default=None,
+                    help="G/G_ema msgpack (or weights dir) trained in THIS "
+                         "framework at the GEN_CFG shapes; exported to the "
+                         "torch side via models/convert.py::"
+                         "export_generator_to_torch — measures parity on a "
+                         "TRAINED generator (sane FID regime, "
+                         "well-conditioned feature covariance) instead of "
+                         "a random-init one")
     ap.add_argument("--seeds", default="7",
                     help="comma-separated jax seeds for our pipeline; >1 "
                          "seeds also reports the generation-RNG noise floor")
@@ -268,9 +276,39 @@ def main():
     y0 = jnp.arange(40)
     variables = G.init({"params": jax.random.PRNGKey(0),
                         "rdof": jax.random.PRNGKey(1)}, z0, y0, train=False)
-    variables = load_into_variables(
-        dict(variables),
-        convert_torch_generator(ref_g.state_dict(), g_depth=GEN_CFG["G_depth"]))
+    if args.checkpoint:
+        # trained-in-this-framework weights on BOTH sides: load ours, export
+        # flax -> torch (round-trip parity-tested <5e-4 px)
+        import torch as _torch
+        from flax import serialization
+        from ieagan_tpu.models.convert import export_generator_to_torch
+        ckpt = args.checkpoint
+        if os.path.isdir(ckpt):
+            from ieagan_tpu.utils.checkpoint import latest_checkpoint
+            tag = latest_checkpoint(ckpt)
+            for base in ("G_ema", "G"):
+                cand = os.path.join(
+                    ckpt, f"{base}_{tag}.msgpack" if tag else f"{base}.msgpack")
+                if os.path.exists(cand):
+                    ckpt = cand
+                    break
+        print(f"checkpoint: {ckpt}", file=sys.stderr)
+        tmpl = {"params": variables["params"],
+                "state": {k: v for k, v in variables.items()
+                          if k != "params"}}
+        with open(ckpt, "rb") as fp:
+            tree = serialization.from_bytes(tmpl, fp.read())
+        variables = {"params": tree["params"], **tree["state"]}
+        sd = export_generator_to_torch(variables, ref_g.state_dict(),
+                                       g_depth=GEN_CFG["G_depth"])
+        ref_g.load_state_dict({k: _torch.from_numpy(np.array(v))
+                               for k, v in sd.items()})
+        ref_g.eval()
+    else:
+        variables = load_into_variables(
+            dict(variables),
+            convert_torch_generator(ref_g.state_dict(),
+                                    g_depth=GEN_CFG["G_depth"]))
     params = variables["params"]
     state = {k: v for k, v in variables.items() if k != "params"}
 

@@ -138,6 +138,42 @@ def test_converted_tree_covers_all_params(ref_model_module):
     assert not missing, f"params not covered by conversion: {sorted(missing)[:10]}"
 
 
+def test_export_generator_to_torch_roundtrip(ref_model_module):
+    """Inverse converter: a flax-trained (here: flax-initialized) Generator
+    exported into the reference torch implementation must produce the same
+    images — the migration path back to the reference, and the mechanism
+    that lets FID parity be measured on checkpoints trained in this
+    framework."""
+    import torch
+    torch.manual_seed(0)
+    ref_g = ref_model_module.Generator(
+        **dict(CFG, skip_init=True, no_optim=True, device="cpu"))
+    ref_g.eval()
+
+    from ieagan_tpu.models import Generator
+    from ieagan_tpu.models.convert import export_generator_to_torch
+    G = Generator.from_config(dict(CFG, use_pallas_attention=False))
+    z_np = np.random.RandomState(5).randn(4, CFG["dim_z"]).astype(np.float32)
+    y_np = np.arange(4)
+    variables = G.init({"params": jax.random.PRNGKey(7),
+                        "rdof": jax.random.PRNGKey(8)},
+                       jnp.asarray(z_np), jnp.asarray(y_np), train=False)
+
+    sd = export_generator_to_torch(dict(variables), ref_g.state_dict(),
+                                   g_depth=CFG["G_depth"])
+    ref_g.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()})
+
+    ours = np.asarray(G.apply(variables, jnp.asarray(z_np),
+                              jnp.asarray(y_np), train=False,
+                              rngs={"rdof": jax.random.PRNGKey(2)}))
+    with torch.no_grad():
+        theirs = ref_g(torch.from_numpy(z_np),
+                       torch.from_numpy(y_np)).numpy().transpose(0, 2, 3, 1)
+    diff = np.abs(ours - theirs)
+    assert diff.max() < 5e-4, f"max diff {diff.max()}"
+
+
 def test_discriminator_matches_reference_with_converted_weights(ref_model_module):
     """D parity: conv stack + sum-pool + SN-RRM + contrastive head."""
     import torch
