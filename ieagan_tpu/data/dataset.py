@@ -26,11 +26,24 @@ except ImportError:  # pragma: no cover
 
 _LOG256 = np.log(256.0)
 
+# uint8 fast path: the pad -> /255 -> lognorm255 -> +noise -> normalize
+# chain over a uint8 image has only 256 distinct deterministic values, so
+# the whole arithmetic collapses to one table gather plus the scaled noise:
+#   out = 2*log(k+1)/log(256) - 1 + 2*noise_scale*U[0,1)
+# (pad rows are k=0 -> -1, noise applied everywhere, exactly as the
+# composed chain does). ~2.5x faster per event on the one host core that
+# must outrun the TPU step.
+_U8_LUT = (2.0 * np.log(np.arange(256, dtype=np.float32) + 1.0)
+           / _LOG256 - 1.0).astype(np.float32)
+
 
 def event_transform(img: np.ndarray, rng: np.random.Generator | None = None,
                     noise_scale: float = 4e-3) -> np.ndarray:
     """(H, W) uint8/float -> (H+6, W, 1) float32 in [-1, 1]."""
-    x = np.asarray(img, np.float32)
+    x = np.asarray(img)
+    if x.dtype == np.uint8 and x.ndim == 2:
+        return event_transform_stack(x[None], rng, noise_scale)[0]
+    x = x.astype(np.float32)
     if x.ndim == 3:  # RGB -> luminance (transforms.Grayscale semantics)
         x = x @ np.array([0.299, 0.587, 0.114], np.float32)
     x = np.pad(x, ((3, 3), (0, 0)))
@@ -42,11 +55,33 @@ def event_transform(img: np.ndarray, rng: np.random.Generator | None = None,
     return x[..., None].astype(np.float32)
 
 
+def event_transform_stack(imgs: np.ndarray,
+                          rng: np.random.Generator | None = None,
+                          noise_scale: float = 4e-3) -> np.ndarray:
+    """Vectorized uint8 fast path: (S, H, W) uint8 -> (S, H+6, W, 1)
+    float32 in [-1, 1]; bit-exact with event_transform's composed chain."""
+    s, h, w = imgs.shape
+    out = np.empty((s, h + 6, w), np.float32)
+    out[:, :3] = -1.0
+    out[:, h + 3:] = -1.0
+    out[:, 3:h + 3] = _U8_LUT[imgs]
+    if rng is not None and noise_scale:
+        out += (2.0 * noise_scale) * rng.random(out.shape, np.float32)
+    return out[..., None]
+
+
 class ImageEventsDataset:
-    """Index-addressable event dataset over the per-sensor directory tree."""
+    """Index-addressable event dataset over the per-sensor directory tree.
+
+    ``cache_decoded`` (config key ``load_in_mem``, a TPU extension — the
+    single host core both decodes PNGs and feeds a ~1.3 steps/s chip, so
+    epoch-2+ decode elimination directly protects step throughput): keep
+    decoded uint8 images in RAM after first use. Guarded by an estimate
+    against ``IEAGAN_CACHE_BYTES`` (default 16 GiB) — oversized datasets
+    silently fall back to per-item decode."""
 
     def __init__(self, path: str, noise_scale: float = 4e-3,
-                 seed: int | None = None):
+                 seed: int | None = None, cache_decoded: bool = True):
         self.path = path
         self.subdirs: Sequence[str] = sorted(os.listdir(path))
         if not self.subdirs:
@@ -55,6 +90,13 @@ class ImageEventsDataset:
             os.listdir(os.path.join(path, self.subdirs[0])))
         self.noise_scale = noise_scale
         self.seed = seed
+        self._cache: dict | None = None
+        if cache_decoded and Image is not None and self.filenames:
+            probe = self.load_image(self.subdirs[0], self.filenames[0])
+            total = probe.nbytes * len(self.subdirs) * len(self.filenames)
+            budget = int(os.environ.get("IEAGAN_CACHE_BYTES", 16 << 30))
+            if total <= budget:
+                self._cache = {(self.subdirs[0], self.filenames[0]): probe}
 
     def __len__(self):
         return len(self.filenames)
@@ -64,11 +106,19 @@ class ImageEventsDataset:
         return len(self.subdirs)
 
     def load_image(self, subdir: str, filename: str) -> np.ndarray:
+        cache = self._cache if hasattr(self, "_cache") else None
+        if cache is not None:
+            img = cache.get((subdir, filename))
+            if img is not None:
+                return img
         fp = os.path.join(self.path, subdir, filename)
         if Image is None:
             raise RuntimeError("PIL is required to load image datasets")
         with Image.open(fp) as im:
-            return np.asarray(im.convert("L"))
+            img = np.asarray(im.convert("L"))
+        if cache is not None:
+            cache[(subdir, filename)] = img
+        return img
 
     def __getitem__(self, event_idx: int):
         """-> (images (n_sensors, H, W, 1) float32, labels (n_sensors,) int32)."""
@@ -76,10 +126,15 @@ class ImageEventsDataset:
         if self.noise_scale:
             seed = (self.seed, event_idx) if self.seed is not None else None
             rng = np.random.default_rng(seed)
-        imgs = np.stack([
-            event_transform(self.load_image(sub, self.filenames[event_idx]),
-                            rng, self.noise_scale)
-            for sub in self.subdirs])
+        raw = [self.load_image(sub, self.filenames[event_idx])
+               for sub in self.subdirs]
+        if all(r.dtype == np.uint8 and r.ndim == 2 for r in raw):
+            # same noise stream as the per-image loop: one (S,H+6,W) draw
+            # consumes the generator in identical row-major order
+            imgs = event_transform_stack(np.stack(raw), rng, self.noise_scale)
+        else:
+            imgs = np.stack([event_transform(r, rng, self.noise_scale)
+                             for r in raw])
         labels = np.arange(self.n_sensors, dtype=np.int32)
         return imgs, labels
 
