@@ -286,6 +286,75 @@ def export_generator_to_torch(variables: dict, template_state_dict: dict,
     return out_sd
 
 
+def export_discriminator_to_torch(variables: dict,
+                                  template_state_dict: dict,
+                                  d_depth: int = 2) -> dict:
+    """Inverse of convert_torch_discriminator (reference layout:
+    model.py:624-944): template-driven like export_generator_to_torch."""
+    params = variables.get("params", {})
+    spectral = variables.get("spectral", {})
+
+    def module_path(parts: list[str]) -> list[str]:
+        if parts[0] == "blocks":
+            stage, j = int(parts[1]), int(parts[2])
+            name = (f"blocks_{stage}_{j}" if j < d_depth else f"attn_{stage}")
+            return [name] + parts[3:]
+        if parts[0] in ("RR_D", "RR_Dproxy"):
+            rest = parts[1:]
+            out = [parts[0]]
+            i = 0
+            while i < len(rest):
+                p = rest[i]
+                if p == "layers":
+                    out.append(f"layers_{rest[i + 1]}")
+                    i += 2
+                elif p == "linear_net":
+                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
+                    i += 2
+                else:
+                    out.append(p)
+                    i += 1
+            return out
+        return parts
+
+    out_sd: dict = {}
+    for key, tmpl in template_state_dict.items():
+        tshape = tuple(getattr(tmpl, "shape", ()))
+        parts = key.split(".")
+        leaf = parts[-1]
+        path = module_path(parts[:-1])
+        v = None
+        if leaf == "weight":
+            if len(tshape) == 4:
+                k = _get(params, path + ["kernel"])
+                v = None if k is None else np.asarray(k).transpose(3, 2, 0, 1)
+            elif parts[0] == "embed":
+                v = _get(params, path + ["embedding"])
+            else:
+                k = _get(params, path + ["kernel"])
+                if k is not None:
+                    v = np.asarray(k).T
+                else:
+                    v = _get(params, path + ["scale"])
+        elif leaf == "bias":
+            v = _get(params, path + ["bias"])
+        elif leaf.startswith("u") and leaf[1:].isdigit():
+            u = _get(spectral, path + ["u"])
+            if u is not None:
+                v = np.asarray(u)[int(leaf[1:])]
+        elif leaf.startswith("sv") and leaf[1:].isdigit():
+            sv = _get(spectral, path + ["sv"])
+            if sv is not None:
+                v = np.asarray(sv).reshape(-1)[int(leaf[2:])]
+        elif leaf == "gamma":
+            v = _get(params, path + ["gamma"])
+        if v is None:
+            out_sd[key] = np.asarray(tmpl)
+        else:
+            out_sd[key] = np.asarray(v, np.float32).reshape(tshape)
+    return out_sd
+
+
 def load_into_variables(variables: dict, converted: dict) -> dict:
     """Overlay converted arrays onto an initialized variables tree (keeps
     any leaves the conversion does not cover, e.g. sv logging buffers and

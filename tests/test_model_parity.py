@@ -174,6 +174,48 @@ def test_export_generator_to_torch_roundtrip(ref_model_module):
     assert diff.max() < 5e-4, f"max diff {diff.max()}"
 
 
+def test_export_discriminator_to_torch_roundtrip(ref_model_module):
+    """Inverse D converter: flax-initialized D exported into the reference
+    torch implementation must produce the same (proxy, embed, score)."""
+    import torch
+    dcfg = dict(
+        D_ch=32, D_depth=2, resolution=64, D_attn="32", n_classes=4,
+        D_activation="relu", conditional_strategy="Contra", SN_eps=1e-6,
+        hypersphere_dim=32, nonlinear_embed=False, normalize_embed=True,
+        RRM_prx_D=False, RRM_embed=True, n_head_D=4, D_param="SN",
+        D_wide=True,
+    )
+    torch.manual_seed(0)
+    ref_d = ref_model_module.Discriminator(
+        **dict(dcfg, skip_init=True, device="cpu"))
+    ref_d.eval()
+
+    from ieagan_tpu.models import Discriminator
+    from ieagan_tpu.models.convert import export_discriminator_to_torch
+    D = Discriminator.from_config(dict(dcfg, use_pallas_attention=False))
+    x_np = np.random.RandomState(9).uniform(
+        -1, 1, (4, 64, 64, 1)).astype(np.float32)
+    y_np = np.arange(4)
+    variables = D.init({"params": jax.random.PRNGKey(3)},
+                       jnp.asarray(x_np), jnp.asarray(y_np), train=False)
+    sd = export_discriminator_to_torch(dict(variables), ref_d.state_dict(),
+                                       d_depth=dcfg["D_depth"])
+    ref_d.load_state_dict({k: torch.from_numpy(np.asarray(v))
+                           for k, v in sd.items()})
+    proxy, embed, out = D.apply(variables, jnp.asarray(x_np),
+                                jnp.asarray(y_np), train=False)
+    with torch.no_grad():
+        t_proxy, t_embed, t_out = ref_d(
+            torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+            torch.from_numpy(y_np))
+    np.testing.assert_allclose(np.asarray(out), t_out.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(embed), t_embed.numpy(),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(proxy), t_proxy.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_discriminator_matches_reference_with_converted_weights(ref_model_module):
     """D parity: conv stack + sum-pool + SN-RRM + contrastive head."""
     import torch
