@@ -106,6 +106,34 @@ class Model:
         model.state = variables
         return model
 
+    def export_torch(self, out_path: str) -> str:
+        """Export this generator as a reference-layout PyTorch state dict
+        (.pth) loadable by the reference implementation (model.py:139-487 /
+        ieagan.py) — the migration path back. Round-trip forward parity is
+        pinned by tests/test_model_parity.py (<5e-4 px)."""
+        import sys
+        import torch
+        from ieagan_tpu.models.convert import export_generator_to_torch
+        ref_dir = self.config.get("reference_dir", "/root/reference")
+        if ref_dir not in sys.path:
+            sys.path.insert(0, ref_dir)
+        import model as ref_model
+        torch.manual_seed(0)
+        ref_g = ref_model.Generator(**{
+            k: self.config[k] for k in (
+                "G_ch", "G_depth", "dim_z", "bottom_width", "resolution",
+                "G_attn", "n_classes", "H_base", "G_shared", "shared_dim",
+                "hier", "G_activation", "BN_eps", "SN_eps", "RRM_prx_G",
+                "rdof_dim", "n_head_G", "G_param", "norm_style")
+            if k in self.config} | dict(skip_init=True, no_optim=True,
+                                        device="cpu"))
+        sd = export_generator_to_torch(
+            {"params": self.params, **self.state}, ref_g.state_dict(),
+            g_depth=int(self.config.get("G_depth", 2)))
+        torch.save({k: torch.from_numpy(np.asarray(v).copy())
+                    for k, v in sd.items()}, out_path)
+        return out_path
+
     def _block_fn(self, events_per_call: int, chunks: int):
         """Cached jitted block generator (see generate_block)."""
         cache = self.__dict__.setdefault("_block_fns", {})
