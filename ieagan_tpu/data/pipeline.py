@@ -65,11 +65,24 @@ class EventLoader:
         if self.shuffle:
             seed = self.seed
             if seed is None and self.process_count > 1:
-                seed = 0  # processes must agree on the global permutation
+                # processes must agree on the global permutation without a
+                # collective; warn that run-to-run order is then fixed
+                if not getattr(self, "_warned_seed", False):
+                    self._warned_seed = True
+                    print("EventLoader: multi-process shuffle with seed=None "
+                          "uses a fixed seed (identical order every run) — "
+                          "pass an explicit seed for run-to-run variation")
+                seed = 0
             rng = np.random.default_rng(
                 None if seed is None else (seed, self._epoch))
             rng.shuffle(idx)
-        return idx[self.process_index::self.process_count]
+        local = idx[self.process_index::self.process_count]
+        if self.process_count > 1:
+            # equal local counts on every process (strided slicing gives the
+            # low ranks one extra when N % P != 0, which would desynchronize
+            # the tail batch of a drop_last=False epoch)
+            local = local[:len(self.dataset) // self.process_count]
+        return local
 
     def __iter__(self):
         order = self._order()

@@ -30,6 +30,27 @@ FROZEN_CONFIG = dict(DEFAULT_CONFIG, seed=415, D_attn="0",
                      model="BigGAN_deep")
 
 
+def _import_reference_model(ref_dir: str):
+    """Import the reference repo's top-level ``model`` module without
+    clobbering the embedding application's own modules: the reference uses
+    generic top-level names (model, layers, RRM, diff_aug) that are very
+    likely already taken in a host process, so shadowed entries are popped
+    for the duration of the import and restored afterwards."""
+    import importlib
+    import sys
+    names = ("model", "layers", "RRM", "diff_aug")
+    shadowed = {n: sys.modules.pop(n) for n in names if n in sys.modules}
+    sys.path.insert(0, ref_dir)
+    try:
+        mod = importlib.import_module("model")
+    finally:
+        sys.path.remove(ref_dir)
+        for n in names:
+            sys.modules.pop(n, None)
+        sys.modules.update(shadowed)
+    return mod
+
+
 class Model:
     """Generator + parameters, ready to generate events.
 
@@ -111,13 +132,10 @@ class Model:
         (.pth) loadable by the reference implementation (model.py:139-487 /
         ieagan.py) — the migration path back. Round-trip forward parity is
         pinned by tests/test_model_parity.py (<5e-4 px)."""
-        import sys
         import torch
         from ieagan_tpu.models.convert import export_generator_to_torch
         ref_dir = self.config.get("reference_dir", "/root/reference")
-        if ref_dir not in sys.path:
-            sys.path.insert(0, ref_dir)
-        import model as ref_model
+        ref_model = _import_reference_model(ref_dir)
         torch.manual_seed(0)
         ref_g = ref_model.Generator(**{
             k: self.config[k] for k in (

@@ -45,7 +45,13 @@ class FeatureExtractor:
     def __init__(self, weights_path: str | None = None, seed: int = 0,
                  dtype=jnp.float32):
         self.model = InceptionV3Features(dtype=dtype)
-        if weights_path and os.path.exists(weights_path):
+        if weights_path and not os.path.exists(weights_path):
+            # an explicitly requested backbone that is absent must not
+            # silently degrade to the random-init fallback: every FID the
+            # run produces (incl. best-checkpoint selection) would be noise
+            raise FileNotFoundError(
+                f"FID backbone weights not found: {weights_path}")
+        if weights_path:
             self.params = self._load_torch(weights_path)
             self.source = weights_path
         else:

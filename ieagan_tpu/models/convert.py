@@ -22,10 +22,28 @@ Layout mapping:
 
 from __future__ import annotations
 
-import re
 from typing import Any
 
 import numpy as np
+
+
+def _rrm_path(prefix: str, rest: list[str]) -> list[str]:
+    """RRM submodule path rewrite shared by all four converters:
+    layers.i -> layers_i; linear_net.{0,3} -> linear{1,2}."""
+    out = [prefix]
+    i = 0
+    while i < len(rest):
+        p = rest[i]
+        if p == "layers":
+            out.append(f"layers_{rest[i + 1]}")
+            i += 2
+        elif p == "linear_net":
+            out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
+            i += 2
+        else:
+            out.append(p)
+            i += 1
+    return out
 
 
 def _put(tree: dict, path: list[str], value):
@@ -58,22 +76,7 @@ def convert_torch_generator(state_dict: dict, g_depth: int = 2) -> dict:
             return (["output_bn"] if parts[1] == "0" else ["output_conv"]) \
                 + parts[2:]
         if parts[0] == "RR_G":
-            # RRM: layers.i -> layers_i; linear_net.{0,3} -> linear{1,2}
-            rest = parts[1:]
-            out = ["RR_G"]
-            i = 0
-            while i < len(rest):
-                p = rest[i]
-                if p == "layers":
-                    out.append(f"layers_{rest[i + 1]}")
-                    i += 2
-                elif p == "linear_net":
-                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
-                    i += 2
-                else:
-                    out.append(p)
-                    i += 1
-            return out
+            return _rrm_path("RR_G", parts[1:])
         return parts
 
     for key, val in state_dict.items():
@@ -99,7 +102,7 @@ def convert_torch_generator(state_dict: dict, g_depth: int = 2) -> dict:
             _put(params, path + ["gain"], v)
         elif leaf.startswith("u") and leaf[1:].isdigit():
             _put(spectral, path + ["u"], v.reshape(1, -1))
-        elif leaf.startswith("sv") and leaf[1:].isdigit():
+        elif leaf.startswith("sv") and leaf[2:].isdigit():
             _put(spectral, path + ["sv"], v.reshape(-1))
         elif leaf == "stored_mean":
             _put(batch_stats, path + ["mean"], v)
@@ -146,21 +149,7 @@ def convert_torch_discriminator(state_dict: dict, d_depth: int = 2) -> dict:
             name = (f"blocks_{stage}_{j}" if j < d_depth else f"attn_{stage}")
             return [name] + parts[3:]
         if parts[0] in ("RR_D", "RR_Dproxy"):
-            rest = parts[1:]
-            out = [parts[0]]
-            i = 0
-            while i < len(rest):
-                p = rest[i]
-                if p == "layers":
-                    out.append(f"layers_{rest[i + 1]}")
-                    i += 2
-                elif p == "linear_net":
-                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
-                    i += 2
-                else:
-                    out.append(p)
-                    i += 1
-            return out
+            return _rrm_path(parts[0], parts[1:])
         return parts
 
     for key, val in state_dict.items():
@@ -182,7 +171,7 @@ def convert_torch_discriminator(state_dict: dict, d_depth: int = 2) -> dict:
             _put(params, path + ["bias"], v)
         elif leaf.startswith("u") and leaf[1:].isdigit():
             _put(spectral, path + ["u"], v.reshape(1, -1))
-        elif leaf.startswith("sv") and leaf[1:].isdigit():
+        elif leaf.startswith("sv") and leaf[2:].isdigit():
             _put(spectral, path + ["sv"], v.reshape(-1))
         elif leaf == "gamma":
             _put(params, path + ["gamma"], np.float32(v))
@@ -225,21 +214,7 @@ def export_generator_to_torch(variables: dict, template_state_dict: dict,
             return (["output_bn"] if parts[1] == "0" else ["output_conv"]) \
                 + parts[2:]
         if parts[0] == "RR_G":
-            rest = parts[1:]
-            out = ["RR_G"]
-            i = 0
-            while i < len(rest):
-                p = rest[i]
-                if p == "layers":
-                    out.append(f"layers_{rest[i + 1]}")
-                    i += 2
-                elif p == "linear_net":
-                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
-                    i += 2
-                else:
-                    out.append(p)
-                    i += 1
-            return out
+            return _rrm_path("RR_G", parts[1:])
         return parts
 
     out_sd: dict = {}
@@ -269,7 +244,7 @@ def export_generator_to_torch(variables: dict, template_state_dict: dict,
             u = _get(spectral, path + ["u"])
             if u is not None:
                 v = np.asarray(u)[int(leaf[1:])]
-        elif leaf.startswith("sv") and leaf[1:].isdigit():
+        elif leaf.startswith("sv") and leaf[2:].isdigit():
             sv = _get(spectral, path + ["sv"])
             if sv is not None:
                 v = np.asarray(sv).reshape(-1)[int(leaf[2:])]
@@ -300,21 +275,7 @@ def export_discriminator_to_torch(variables: dict,
             name = (f"blocks_{stage}_{j}" if j < d_depth else f"attn_{stage}")
             return [name] + parts[3:]
         if parts[0] in ("RR_D", "RR_Dproxy"):
-            rest = parts[1:]
-            out = [parts[0]]
-            i = 0
-            while i < len(rest):
-                p = rest[i]
-                if p == "layers":
-                    out.append(f"layers_{rest[i + 1]}")
-                    i += 2
-                elif p == "linear_net":
-                    out.append({"0": "linear1", "3": "linear2"}[rest[i + 1]])
-                    i += 2
-                else:
-                    out.append(p)
-                    i += 1
-            return out
+            return _rrm_path(parts[0], parts[1:])
         return parts
 
     out_sd: dict = {}
@@ -342,7 +303,7 @@ def export_discriminator_to_torch(variables: dict,
             u = _get(spectral, path + ["u"])
             if u is not None:
                 v = np.asarray(u)[int(leaf[1:])]
-        elif leaf.startswith("sv") and leaf[1:].isdigit():
+        elif leaf.startswith("sv") and leaf[2:].isdigit():
             sv = _get(spectral, path + ["sv"])
             if sv is not None:
                 v = np.asarray(sv).reshape(-1)[int(leaf[2:])]

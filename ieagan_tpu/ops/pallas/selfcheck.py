@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import zlib
+
 import numpy as np
 
 from ieagan_tpu.ops.pallas.flash_attention import (
@@ -59,7 +61,9 @@ def run_check(dtype=jnp.bfloat16, rtol=None, atol=None) -> dict:
 
     results = {}
     for name, b, lq, lkv, dk, dv, scale in CASES:
-        rs = np.random.RandomState(hash(name) % 2 ** 31)
+        # stable digest, NOT hash(): PYTHONHASHSEED randomizes str hashes
+        # per process, which would make the tolerance check nondeterministic
+        rs = np.random.RandomState(zlib.crc32(name.encode()) % 2 ** 31)
         q = jnp.asarray(rs.randn(b, lq, dk), dtype)
         k = jnp.asarray(rs.randn(b, lkv, dk), dtype)
         v = jnp.asarray(rs.randn(b, lkv, dv), dtype)

@@ -113,7 +113,16 @@ def parent(args) -> int:
     lines = []
     ok = True
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=1200)
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            # one hung child must not orphan the rest: kill the whole pool
+            # and report which process stalled
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+            out, _ = p.communicate()
+            out = f"[TIMEOUT after 1200s]\n{out}"
         metric_lines = [l for l in out.splitlines() if l.startswith("METRICS")]
         if p.returncode != 0 or not metric_lines:
             print(f"--- process {i} FAILED (rc={p.returncode}) ---\n{out}")
