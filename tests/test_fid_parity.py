@@ -76,3 +76,25 @@ def test_folder_fid_matches_reference_machinery(tmp_path):
 
     rel = abs(fid_ours - fid_ref) / max(abs(fid_ref), 1e-9)
     assert rel < 0.01, (fid_ref, fid_ours, rel)
+
+
+@pytest.mark.slow
+def test_generator_fid_parity_end_to_end(tmp_path):
+    """The full north-star gate in miniature: scripts/fid_parity.py in
+    shared-z mode (identical torch z/label draws through the reference's
+    generation+postprocess+resize+Fréchet AND ours) on CPU fp32, where the
+    two implementations are proven numerically identical (docs/
+    VALIDATION.md: 0.001% at fp32; 0.24% full-pipeline on a trained G on
+    TPU). Subprocess-isolated because the script stubs reference imports."""
+    import subprocess
+    real_dir = str(tmp_path / "real")
+    _mint_folder(real_dir, 200, seed=3)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "fid_parity.py"),
+         "--num-gen", "200", "--num-real", "200", "--shared-z",
+         "--host-resize", "--cpu", "--real-dir", real_dir,
+         "--stats-dir", str(tmp_path / "stats"), "--tolerance", "0.01"],
+        capture_output=True, text=True, timeout=3600, env=env)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "PARITY OK" in proc.stderr, proc.stderr[-2000:]
