@@ -102,6 +102,10 @@ class Model:
         with open(path, "rb") as fp:
             tree = serialization.from_bytes(
                 {"params": model.params, "state": model.state}, fp.read())
+        from ieagan_tpu.utils.transfer import packed_device_put
+        # one packed upload instead of per-leaf tunnel round trips on the
+        # first generate() call (minutes for the flagship tree)
+        tree = packed_device_put(tree)
         model.params, model.state = tree["params"], tree["state"]
         return model
 
@@ -123,6 +127,8 @@ class Model:
             sd, g_depth=int(model.config.get("G_depth", 2)))
         variables = load_into_variables(
             {"params": model.params, **model.state}, converted)
+        from ieagan_tpu.utils.transfer import packed_device_put
+        variables = packed_device_put(variables)
         model.params = variables.pop("params")
         model.state = variables
         return model

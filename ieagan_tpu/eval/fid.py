@@ -52,12 +52,17 @@ class FeatureExtractor:
             raise FileNotFoundError(
                 f"FID backbone weights not found: {weights_path}")
         if weights_path:
-            self.params = self._load_torch(weights_path)
+            from ieagan_tpu.utils.transfer import packed_device_put
+            # one packed upload at construction: per-leaf device_put of the
+            # ~300-array backbone over the network-attached chip costs a
+            # tunnel round trip PER LEAF PER CALL (minutes) otherwise
+            self.params = packed_device_put(self._load_torch(weights_path))
             self.source = weights_path
         else:
             default = os.environ.get("IEAGAN_INCEPTION_WEIGHTS")
             if default and os.path.exists(default):
-                self.params = self._load_torch(default)
+                from ieagan_tpu.utils.transfer import packed_device_put
+                self.params = packed_device_put(self._load_torch(default))
                 self.source = default
             else:
                 # Deterministic random-projection fallback (finetuned blob is
@@ -129,6 +134,24 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
                  - 2 * np.trace(covmean))
 
 
+@jax.jit
+def _frechet_device(mu1, sigma1, mu2, sigma2):
+    """Fréchet distance fully on device: for PSD covariances,
+    tr sqrtm(S1 S2) == sum sqrt eig(S1^1/2 S2 S1^1/2) with S1^1/2 from a
+    symmetric eigendecomposition — no 16MB sigma ever crosses the tunnel
+    (one scalar does). Numerically equivalent to the scipy-sqrtm host path
+    for the PSD inputs FID produces; the strict-parity scripts keep the
+    host path."""
+    diff = mu1 - mu2
+    w1, v1 = jnp.linalg.eigh(sigma1)
+    root1 = (v1 * jnp.sqrt(jnp.clip(w1, 0.0, None))) @ v1.T
+    m = root1 @ sigma2 @ root1
+    wm = jnp.linalg.eigvalsh((m + m.T) * 0.5)
+    tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(wm, 0.0, None)))
+    return (diff @ diff + jnp.trace(sigma1) + jnp.trace(sigma2)
+            - 2.0 * tr_sqrt)
+
+
 def kernel_distance(feats1, feats2, num_subsets: int = 100,
                     max_subset_size: int = 1000, seed: int | None = None) -> float:
     """KID with the cubic polynomial kernel (reference: fid.py:476-487)."""
@@ -157,12 +180,17 @@ def _mode_options(mode: str):
 
 def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
                        batch_size: int, rng, resize_on_device: bool = True,
-                       mode: str = "clean"):
+                       mode: str = "clean", return_moments: bool = False):
     """Collect features from a generator callable.
 
     gen_fn(key) -> (N, H, W, 1) images in [-1, 1] with permuted labels
     inside (reference: fid.py:673-687). N may exceed batch_size (chunked
     generators amortize device dispatches — see make_generator_fn).
+
+    return_moments=True returns (mu, sigma, n) with the moment accumulation
+    done on device (f32 X^T X; final mu/sigma assembled in f64 on host) —
+    the transfer-light mode for the in-training FID hook on a
+    network-attached chip.
     """
     del batch_size  # sizing comes from gen_fn's output
     interp, scale = _mode_options(mode)
@@ -172,6 +200,13 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
     resize = (jax.jit(functools.partial(jax_resize_single_channel,
                                         interp=interp))
               if resize_on_device else None)
+    if return_moments:
+        # accumulate n/sum/X^T X on device; only mu (8KB) + sigma (16MB)
+        # ever cross the tunnel, vs ~131MB of raw features for a 16k run
+        upd = jax.jit(lambda s, o, f: (s + f.sum(0),
+                                       o + f.T.astype(jnp.float32) @ f))
+        acc_s = jnp.zeros((2048,), jnp.float32)
+        acc_o = jnp.zeros((2048, 2048), jnp.float32)
     keys = jax.random.split(rng, 4096)
     i = 0
     while total < num_gen:
@@ -182,9 +217,21 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
             batch299 = resize(imgs01)
         else:
             batch299 = pil_resize_batch(np.asarray(imgs01), interp=interp)
-        f = extractor(batch299)
-        feats.append(f)
-        total += f.shape[0]
+        if return_moments:
+            f_dev = extractor._apply(extractor.params, batch299)
+            f_dev = f_dev[:num_gen - total]
+            acc_s, acc_o = upd(acc_s, acc_o, f_dev)
+            total += int(f_dev.shape[0])
+        else:
+            f = extractor(batch299)
+            feats.append(f)
+            total += f.shape[0]
+    if return_moments:
+        mu, sigma = jax.jit(
+            lambda s, o, n: (s / n,
+                             (o - n * jnp.outer(s / n, s / n)) / (n - 1.0))
+        )(acc_s, acc_o, float(total))
+        return mu, sigma, total  # device arrays: callers np.asarray if needed
     return np.concatenate(feats)[:num_gen]
 
 
@@ -204,12 +251,20 @@ def get_folder_features(fdir, extractor: FeatureExtractor, num=None,
     feats = []
     for i in range(0, len(files), batch_size):
         chunk = files[i:i + batch_size]
-        imgs = np.stack([
-            np.asarray(Image.open(f).convert("L"), np.float32) * (scale / 255.0)
-            for f in chunk])
-        batch299 = (np.asarray(jax_resize_single_channel(jnp.asarray(imgs),
-                                                         interp=interp))
-                    if resize_on_device else pil_resize_batch(imgs, interp=interp))
+        if resize_on_device:
+            # upload uint8 (4x smaller than f32 over the network-attached
+            # chip), scale + resize on device, and feed the extractor the
+            # DEVICE array — no host round-trip between resize and features
+            # (the round-trip was ~130MB/batch of tunnel traffic)
+            raw = np.stack([np.asarray(Image.open(f).convert("L"), np.uint8)
+                            for f in chunk])
+            imgs_dev = jnp.asarray(raw).astype(jnp.float32) * (scale / 255.0)
+            batch299 = jax_resize_single_channel(imgs_dev, interp=interp)
+        else:
+            imgs = np.stack([
+                np.asarray(Image.open(f).convert("L"), np.float32)
+                * (scale / 255.0) for f in chunk])
+            batch299 = pil_resize_batch(imgs, interp=interp)
         feats.append(extractor(batch299))
     return np.concatenate(feats)
 
@@ -305,12 +360,26 @@ def compute_kid(gen_fn=None, fdir1=None, fdir2=None, *,
     return kernel_distance(feats, ref_feats, seed=seed)
 
 
+_DEVICE_REF_STATS: dict = {}
+
+
+def _device_ref_stats(dataset_name, mode, mu, sigma):
+    """Reference stats uploaded once per (dataset, mode) and cached on
+    device — the periodic FID hook re-uses them every test."""
+    key = (dataset_name, mode)
+    if key not in _DEVICE_REF_STATS:
+        _DEVICE_REF_STATS[key] = (jnp.asarray(mu, jnp.float32),
+                                  jnp.asarray(sigma, jnp.float32))
+    return _DEVICE_REF_STATS[key]
+
+
 def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
                 dataset_name: str = "pxd_sim_test_com", num_gen: int = 16000,
                 batch_size: int = 40, rng=None,
                 extractor: FeatureExtractor | None = None,
                 resize_on_device: bool = True,
                 return_features: bool = False,
+                moments_on_device: bool = False,
                 mode: str = "clean"):
     """FID for a generator against dataset stats, or between two folders
     (reference: fid.py:870-942; mode="clean_255" selects the
@@ -328,6 +397,13 @@ def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
         raise ValueError("need gen_fn or two folders")
     ref_mu, ref_sigma = get_reference_statistics(dataset_name, mode=mode)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if moments_on_device and not return_features:
+        mu, sigma, _ = get_model_features(
+            gen_fn, extractor, num_gen=num_gen, batch_size=batch_size,
+            rng=rng, resize_on_device=resize_on_device, mode=mode,
+            return_moments=True)
+        ref_dev = _device_ref_stats(dataset_name, mode, ref_mu, ref_sigma)
+        return float(_frechet_device(mu, sigma, *ref_dev))
     feats = get_model_features(gen_fn, extractor, num_gen=num_gen,
                                batch_size=batch_size, rng=rng,
                                resize_on_device=resize_on_device, mode=mode)
@@ -409,4 +485,8 @@ def compute_fid_from_state(G, train_state, config):
         batch_size=int(config["n_classes"]) * int(config.get("events_per_batch", 1)),
         rng=jax.random.PRNGKey(int(config.get("seed", 0))),
         extractor=default_extractor(config),
+        # transfer-light device moments: the periodic training hook needs
+        # the FID trend, not bit-parity with host f64 np.cov (strict-parity
+        # runs use scripts/fid_parity.py, which keeps the host path)
+        moments_on_device=bool(config.get("fid_moments_on_device", True)),
         mode=config.get("fid_mode", "clean"))

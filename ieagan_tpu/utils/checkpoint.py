@@ -97,7 +97,14 @@ def load_checkpoint(weights_dir, train_state, name_suffix: str | None = None,
     def load(base, template):
         path = weights_dir / f"{_join(name_suffix, base)}.msgpack"
         with open(path, "rb") as fp:
-            return serialization.from_bytes(template, fp.read())
+            tree = serialization.from_bytes(template, fp.read())
+        if jax.process_count() == 1:
+            # packed upload: resuming otherwise pays a per-leaf tunnel
+            # round trip on the first train step (multi-process keeps the
+            # host arrays for make_array_from_callback placement)
+            from ieagan_tpu.utils.transfer import packed_device_put
+            tree = packed_device_put(tree)
+        return tree
 
     g = load("G", {"params": train_state.params_G, "state": train_state.state_G})
     d = load("D", {"params": train_state.params_D, "state": train_state.state_D})

@@ -84,6 +84,37 @@ class TestFrechet:
         sig = np.eye(d)
         assert fid_mod.frechet_distance(mu1, sig, mu2, sig) == pytest.approx(4.0 * d)
 
+    def test_device_frechet_matches_host(self):
+        """The transfer-light on-device Fréchet (eigh identity) must agree
+        with the scipy-sqrtm host path on realistic covariances."""
+        rng = np.random.RandomState(1)
+        d, n = 96, 400
+        x1 = rng.randn(n, d) * rng.rand(d) * 3
+        x2 = rng.randn(n, d) * rng.rand(d) * 2 + 0.3
+        mu1, s1 = x1.mean(0), np.cov(x1, rowvar=False)
+        mu2, s2 = x2.mean(0), np.cov(x2, rowvar=False)
+        host = fid_mod.frechet_distance(mu1, s1, mu2, s2)
+        dev = float(fid_mod._frechet_device(
+            mu1.astype(np.float32), s1.astype(np.float32),
+            mu2.astype(np.float32), s2.astype(np.float32)))
+        assert abs(dev - host) / host < 1e-4, (host, dev)
+
+    def test_packed_device_put_roundtrip(self):
+        from ieagan_tpu.utils.transfer import packed_device_put
+        rng = np.random.RandomState(2)
+        # f32/i32 only: f64 leaves are truncated under the default
+        # jax_enable_x64=False, exactly as plain device_put would
+        tree = {"a": rng.randn(3, 5).astype(np.float32),
+                "b": {"c": rng.randn(7).astype(np.float32),
+                      "d": np.int32(4),
+                      "e": rng.randn(2, 2, 2).astype(np.float32)}}
+        dev = packed_device_put(tree)
+        flat_in = jax.tree_util.tree_leaves(tree)
+        flat_out = jax.tree_util.tree_leaves(dev)
+        for a, b in zip(flat_in, flat_out):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert np.asarray(b).dtype == np.asarray(a).dtype
+
     def test_kid_zero_for_same_distribution(self):
         rng = np.random.RandomState(0)
         f1 = rng.randn(400, 8)
