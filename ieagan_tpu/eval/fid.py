@@ -178,6 +178,11 @@ def _mode_options(mode: str):
     return "bilinear", 1.0
 
 
+@jax.jit
+def _moment_update(acc_s, acc_o, f):
+    return acc_s + f.sum(0), acc_o + f.T.astype(jnp.float32) @ f
+
+
 def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
                        batch_size: int, rng, resize_on_device: bool = True,
                        mode: str = "clean", return_moments: bool = False):
@@ -201,10 +206,8 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
                                         interp=interp))
               if resize_on_device else None)
     if return_moments:
-        # accumulate n/sum/X^T X on device; only mu (8KB) + sigma (16MB)
-        # ever cross the tunnel, vs ~131MB of raw features for a 16k run
-        upd = jax.jit(lambda s, o, f: (s + f.sum(0),
-                                       o + f.T.astype(jnp.float32) @ f))
+        # accumulate n/sum/X^T X on device; nothing bulky ever crosses the
+        # tunnel (the Frechet distance is also computed on device)
         acc_s = jnp.zeros((2048,), jnp.float32)
         acc_o = jnp.zeros((2048, 2048), jnp.float32)
     keys = jax.random.split(rng, 4096)
@@ -220,7 +223,7 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
         if return_moments:
             f_dev = extractor._apply(extractor.params, batch299)
             f_dev = f_dev[:num_gen - total]
-            acc_s, acc_o = upd(acc_s, acc_o, f_dev)
+            acc_s, acc_o = _moment_update(acc_s, acc_o, f_dev)
             total += int(f_dev.shape[0])
         else:
             f = extractor(batch299)
