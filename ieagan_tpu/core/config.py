@@ -190,6 +190,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # Reference quirk §2.4.1: G.optim.step() was gated on clip_norm; we step
     # G unconditionally. Set True to reproduce the reference bug exactly.
     "replicate_G_step_bug": False,
+    # Upload raw uint8 sensor images and run the pad/lognorm/noise transform
+    # on device inside the jitted step (4x less host->device traffic; noise
+    # comes from the jax RNG stream instead of the host numpy stream —
+    # same U[0, 4e-3) distribution, different draws).
+    "device_transform": False,
 }
 
 

@@ -81,7 +81,12 @@ class ImageEventsDataset:
     silently fall back to per-item decode."""
 
     def __init__(self, path: str, noise_scale: float = 4e-3,
-                 seed: int | None = None, cache_decoded: bool = True):
+                 seed: int | None = None, cache_decoded: bool = True,
+                 raw_uint8: bool = False):
+        # raw_uint8: skip the host transform; items are (S, H, W) uint8
+        # stacks for on-device transformation (ops/image_norm.py::
+        # device_event_transform) — 4x less host->device traffic
+        self.raw_uint8 = raw_uint8
         self.path = path
         self.subdirs: Sequence[str] = sorted(os.listdir(path))
         if not self.subdirs:
@@ -122,12 +127,15 @@ class ImageEventsDataset:
 
     def __getitem__(self, event_idx: int):
         """-> (images (n_sensors, H, W, 1) float32, labels (n_sensors,) int32)."""
+        raw = [self.load_image(sub, self.filenames[event_idx])
+               for sub in self.subdirs]
+        labels = np.arange(self.n_sensors, dtype=np.int32)
+        if getattr(self, "raw_uint8", False):
+            return np.stack([np.asarray(r, np.uint8) for r in raw]), labels
         rng = None
         if self.noise_scale:
             seed = (self.seed, event_idx) if self.seed is not None else None
             rng = np.random.default_rng(seed)
-        raw = [self.load_image(sub, self.filenames[event_idx])
-               for sub in self.subdirs]
         if all(r.dtype == np.uint8 and r.ndim == 2 for r in raw):
             # same noise stream as the per-image loop: one (S,H+6,W) draw
             # consumes the generator in identical row-major order
@@ -135,15 +143,15 @@ class ImageEventsDataset:
         else:
             imgs = np.stack([event_transform(r, rng, self.noise_scale)
                              for r in raw])
-        labels = np.arange(self.n_sensors, dtype=np.int32)
         return imgs, labels
 
 
 def load_dataset(data_path: str, num_workers: int = 8, shuffle: bool = True,
-                 seed: int | None = None, events_per_batch: int = 1):
+                 seed: int | None = None, events_per_batch: int = 1,
+                 raw_uint8: bool = False):
     """Reference-parity entry point (utils/dataloader.py:56-81) returning an
     iterable of device-ready (images, labels) event batches."""
     from ieagan_tpu.data.pipeline import EventLoader
-    ds = ImageEventsDataset(data_path, seed=seed)
+    ds = ImageEventsDataset(data_path, seed=seed, raw_uint8=raw_uint8)
     return EventLoader(ds, num_workers=num_workers, shuffle=shuffle, seed=seed,
                        events_per_batch=events_per_batch)

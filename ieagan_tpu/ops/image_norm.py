@@ -43,3 +43,23 @@ def generate_postprocess(imgs, threshold: float = -0.26):
     imgs = imgs * 0.5 + 0.5
     imgs = jnp.clip(jnp.power(256.0, imgs) - 1.0, 0.0, 255.0)
     return imgs[:, 3:-3, :, 0]
+
+
+def device_event_transform(raw_u8, key, noise_scale: float = 4e-3,
+                           pad: int = 3):
+    """Jittable twin of data/dataset.py::event_transform_stack: raw uint8
+    sensor images (B, H, W) -> (B, H+2*pad, W, 1) float32 in [-1, 1].
+
+    Enables uint8 uploads (4x less host->device traffic than f32) with the
+    pad/lognorm255/noise/normalize chain fused into the jitted train step.
+    The U[0, noise_scale) pixel noise draws from the jax key instead of the
+    host numpy stream (same distribution; config key: device_transform).
+    """
+    import jax
+    x = raw_u8.astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    out = 2.0 * (jnp.log(x + 1.0) / _LOG256) - 1.0
+    if noise_scale:
+        out = out + (2.0 * noise_scale) * jax.random.uniform(
+            key, out.shape, jnp.float32)
+    return out[..., None]

@@ -138,11 +138,13 @@ def run(config: dict):
                 yield dbg_batches[i % n_distinct]
     else:
         from ieagan_tpu.data import load_dataset
+        device_transform = bool(config.get("device_transform", False))
         loader = load_dataset(config["dataroot"],
                               num_workers=int(config["num_workers"]),
                               shuffle=bool(config["shuffle"]),
                               seed=int(config["seed"]),
-                              events_per_batch=epb)
+                              events_per_batch=epb,
+                              raw_uint8=device_transform)
         # device_put in the loader's producer thread overlaps the
         # host->device upload with the previous step's compute.
         loader.sharding = jax.devices()[0] if device_count == 1 else None
@@ -161,8 +163,22 @@ def run(config: dict):
         if not config.get("debug") and config.get("dataroot"):
             loader.sharding = batch_sh  # loader thread shards the upload
         print(f"mesh: {dict(mesh.shape)}")
-    train_step = jax.jit(make_train_step(G, D, config, steps_per_epoch),
-                         donate_argnums=(0,))
+    base_step = make_train_step(G, D, config, steps_per_epoch)
+    if (not config.get("debug") and config.get("dataroot")
+            and bool(config.get("device_transform", False))):
+        # uint8 batches cross the wire; the pad/lognorm/noise transform is
+        # fused into the jitted step (ops/image_norm.py, config key
+        # device_transform)
+        from ieagan_tpu.ops.image_norm import device_event_transform
+
+        def step_with_transform(state, raw, y, rng):
+            rng, kn = jax.random.split(rng)
+            x = device_event_transform(raw, kn)
+            return base_step(state, x, y, rng)
+
+        train_step = jax.jit(step_with_transform, donate_argnums=(0,))
+    else:
+        train_step = jax.jit(base_step, donate_argnums=(0,))
 
     itr = int(state.itr)
     t_start = time.time()

@@ -2,6 +2,33 @@
 (reference layout: utils/dataloader.py:14-53, README.md:14-27)."""
 
 import numpy as np
+
+
+def test_device_transform_matches_host_chain():
+    """device_event_transform (uint8 on-device path, noise off) must equal
+    the host transform chain exactly."""
+    import jax
+    from ieagan_tpu.data.dataset import event_transform_stack
+    from ieagan_tpu.ops.image_norm import device_event_transform
+    raw = (np.random.RandomState(0).rand(5, 58, 64) * 255).astype(np.uint8)
+    host = event_transform_stack(raw, None, 0.0)
+    dev = np.asarray(device_event_transform(raw, jax.random.PRNGKey(0), 0.0))
+    np.testing.assert_allclose(dev, host, atol=2e-6)
+
+
+def test_raw_uint8_dataset_mode(tmp_path):
+    from PIL import Image
+    from ieagan_tpu.data.dataset import ImageEventsDataset
+    for sub in ("1.1.1", "1.1.2"):
+        (tmp_path / sub).mkdir()
+        for e in range(3):
+            Image.fromarray((np.random.RandomState(e).rand(58, 64) * 255)
+                            .astype(np.uint8), mode="L").save(
+                tmp_path / sub / f"event_{e}.png")
+    ds = ImageEventsDataset(str(tmp_path), raw_uint8=True)
+    imgs, labels = ds[0]
+    assert imgs.dtype == np.uint8 and imgs.shape == (2, 58, 64)
+    assert labels.tolist() == [0, 1]
 import pytest
 
 from ieagan_tpu.data import ImageEventsDataset, EventLoader, load_dataset
