@@ -425,7 +425,11 @@ def make_generator_fn(G, params, state, config, trunc: float | None = None,
     epb = int(config.get("events_per_batch", 1))
     dim_z = int(config["dim_z"])
 
-    def one_batch(key):
+    # params/state are explicit ARGUMENTS of the jitted programs: baked-in
+    # constants would change the HLO every checkpoint, forcing a full
+    # generator recompile per FID eval (measured ~5min each on the driver's
+    # test_every cadence); as arguments the executable caches once.
+    def one_batch(variables, key):
         kz, ky, kr = jax.random.split(key, 3)
         if trunc is not None:
             z = trunc_trick(kz, (es * epb, dim_z), bound=trunc)
@@ -434,20 +438,21 @@ def make_generator_fn(G, params, state, config, trunc: float | None = None,
         perms = [jax.random.permutation(jax.random.fold_in(ky, i), es)
                  for i in range(epb)]
         y = jnp.concatenate(perms)
-        return G.apply({"params": params, **state}, z, y, train=False,
-                       rngs={"rdof": kr})
+        return G.apply(variables, z, y, train=False, rngs={"rdof": kr})
 
+    variables = {"params": params, **state}
     if chunks == 1:
-        return jax.jit(one_batch)
+        jitted1 = jax.jit(one_batch)
+        return lambda key: jitted1(variables, key)
 
     @jax.jit
-    def gen_many(key):
+    def gen_many(variables, key):
         def body(carry, i):
-            return carry, one_batch(jax.random.fold_in(key, i))
+            return carry, one_batch(variables, jax.random.fold_in(key, i))
         _, out = jax.lax.scan(body, 0, jnp.arange(chunks))
         return out.reshape(chunks * es * epb, *out.shape[2:])
 
-    return gen_many
+    return lambda key: gen_many(variables, key)
 
 
 _EXTRACTOR_CACHE: dict = {}
