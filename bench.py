@@ -183,23 +183,39 @@ def main():
 
     extra = {}
     if os.environ.get("BENCH_TRAIN", "1") != "0":
-        try:
-            extra = bench_train(config)
-        except Exception as e:
-            log(f"train benchmark failed: {e}")
+        for attempt in range(2):
+            try:
+                extra = bench_train(config)
+                break
+            except Exception as e:
+                log(f"train benchmark failed: {e}")
+                if "RESOURCE_EXHAUSTED" in str(e) and attempt == 0:
+                    # dead clients' HBM is reclaimed lazily by the tunneled
+                    # TPU server; one cooldown retry usually clears it
+                    log("HBM not yet reclaimed; retrying in 90s")
+                    time.sleep(90)
+                else:
+                    break
 
     # Compiled-Mosaic Pallas kernel regression check (fwd+bwd numerics vs
     # XLA at both model call-site shapes) — the CPU suite only covers the
     # interpreter path; drift in the real kernel is caught here.
     if backend == "tpu" and os.environ.get("BENCH_PALLAS_CHECK", "1") != "0":
-        try:
-            from ieagan_tpu.ops.pallas.selfcheck import run_check
-            extra["pallas_check_max_rel_err"] = max(
-                run_check(dtype=jnp.bfloat16).values())
-            log(f"pallas selfcheck OK ({extra['pallas_check_max_rel_err']})")
-        except Exception as e:
-            extra["pallas_check_error"] = str(e)[:200]
-            log(f"pallas selfcheck FAILED: {e}")
+        for attempt in range(2):
+            try:
+                from ieagan_tpu.ops.pallas.selfcheck import run_check
+                extra["pallas_check_max_rel_err"] = max(
+                    run_check(dtype=jnp.bfloat16).values())
+                extra.pop("pallas_check_error", None)
+                log(f"pallas selfcheck OK ({extra['pallas_check_max_rel_err']})")
+                break
+            except Exception as e:
+                extra["pallas_check_error"] = str(e)[:200]
+                log(f"pallas selfcheck FAILED: {e}")
+                if "RESOURCE_EXHAUSTED" in str(e) and attempt == 0:
+                    time.sleep(90)
+                else:
+                    break
 
     print(json.dumps({
         "metric": "generate_events_per_sec",
