@@ -182,24 +182,8 @@ def main():
             vs_baseline = events_per_sec / float(base["value"])
 
     extra = {}
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
-        for attempt in range(2):
-            try:
-                extra = bench_train(config)
-                break
-            except Exception as e:
-                log(f"train benchmark failed: {e}")
-                if "RESOURCE_EXHAUSTED" in str(e) and attempt == 0:
-                    # dead clients' HBM is reclaimed lazily by the tunneled
-                    # TPU server; one cooldown retry usually clears it
-                    log("HBM not yet reclaimed; retrying in 90s")
-                    time.sleep(90)
-                else:
-                    break
-
-    # Compiled-Mosaic Pallas kernel regression check (fwd+bwd numerics vs
-    # XLA at both model call-site shapes) — the CPU suite only covers the
-    # interpreter path; drift in the real kernel is caught here.
+    # Pallas selfcheck runs BEFORE the train bench: it needs little HBM and
+    # must not be starved by a failed train attempt's fragmentation.
     if backend == "tpu" and os.environ.get("BENCH_PALLAS_CHECK", "1") != "0":
         for attempt in range(2):
             try:
@@ -213,6 +197,24 @@ def main():
                 extra["pallas_check_error"] = str(e)[:200]
                 log(f"pallas selfcheck FAILED: {e}")
                 if "RESOURCE_EXHAUSTED" in str(e) and attempt == 0:
+                    time.sleep(90)
+                else:
+                    break
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        for attempt, cfg_try in enumerate(
+                (config, dict(config, remat=True), dict(config, remat=True))):
+            try:
+                extra.update(bench_train(cfg_try))
+                if cfg_try.get("remat"):
+                    # leaked HBM from dead clients (tunneled-chip hazard):
+                    # the remat step trades ~7% time for much less
+                    # activation memory — mark the number as such
+                    extra["train_remat_fallback"] = True
+                break
+            except Exception as e:
+                log(f"train benchmark failed (attempt {attempt}): {e}")
+                if "RESOURCE_EXHAUSTED" in str(e) and attempt < 2:
+                    log("HBM not reclaimed; cooling down 90s")
                     time.sleep(90)
                 else:
                     break
