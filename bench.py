@@ -8,6 +8,13 @@ full generate() postprocess) and prints ONE JSON line:
 MFU estimate (XLA cost-analysis FLOPs / chip peak). Set BENCH_TRAIN=0 to
 skip the training benchmark (it compiles the full fused step).
 
+Phase isolation: the generate and train benches run in SEPARATE
+subprocesses. On the tunneled chip the generate bench's buffers +
+executables stay resident for the life of its client, which starved the
+train bench into RESOURCE_EXHAUSTED when run in-process (round 2); a clean
+client exit releases them. Set BENCH_INPROCESS=1 to fall back to the old
+single-process behavior.
+
 vs_baseline compares against the PyTorch-CPU reference implementation's
 throughput minted by scripts/mint_baseline.py into baseline_local.json
 (the reference publishes no numbers — BASELINE.md).
@@ -17,10 +24,13 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 
 def log(*args):
@@ -42,6 +52,15 @@ def peak_flops(device) -> float | None:
         if sub in kind:
             return peak
     return None
+
+
+def _setup_jax():
+    import jax
+    # Amortize the (tunneled-TPU) compile across bench runs.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
 
 
 def bench_train(config) -> dict:
@@ -106,12 +125,10 @@ def bench_train(config) -> dict:
     return out
 
 
-def main():
-    import jax
-    # Amortize the (tunneled-TPU) compile across bench runs.
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def phase_generate() -> dict:
+    """Deployment-path throughput + pallas selfcheck. Returns the result
+    dict (metric/value/extra for this phase)."""
+    jax = _setup_jax()
     import jax.numpy as jnp
     from ieagan_tpu.core.config import DEFAULT_CONFIG
     from ieagan_tpu.models import Generator
@@ -160,7 +177,8 @@ def main():
     t0 = time.time()
     out = gen_many(variables, keys[0])
     jax.block_until_ready(out)
-    log(f"compile+first call: {time.time() - t0:.1f}s; out {out.shape}")
+    compile_s = time.time() - t0
+    log(f"compile+first call: {compile_s:.1f}s; out {out.shape}")
     assert out.shape == (chunks, batch, 250, 768)
 
     t0 = time.time()
@@ -173,17 +191,14 @@ def main():
         f"events in {dt:.3f}s")
 
     vs_baseline = None
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "baseline_local.json")
+    baseline_path = os.path.join(_HERE, "baseline_local.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as fp:
             base = json.load(fp)
         if base.get("value"):
             vs_baseline = events_per_sec / float(base["value"])
 
-    extra = {}
-    # Pallas selfcheck runs BEFORE the train bench: it needs little HBM and
-    # must not be starved by a failed train attempt's fragmentation.
+    extra = {"generate_compile_first_call_s": round(compile_s, 1)}
     if backend == "tpu" and os.environ.get("BENCH_PALLAS_CHECK", "1") != "0":
         for attempt in range(2):
             try:
@@ -200,32 +215,112 @@ def main():
                     time.sleep(90)
                 else:
                     break
-    if os.environ.get("BENCH_TRAIN", "1") != "0":
-        for attempt, cfg_try in enumerate(
-                (config, dict(config, remat=True), dict(config, remat=True))):
-            try:
-                extra.update(bench_train(cfg_try))
-                if cfg_try.get("remat"):
-                    # leaked HBM from dead clients (tunneled-chip hazard):
-                    # the remat step trades ~7% time for much less
-                    # activation memory — mark the number as such
-                    extra["train_remat_fallback"] = True
-                break
-            except Exception as e:
-                log(f"train benchmark failed (attempt {attempt}): {e}")
-                if "RESOURCE_EXHAUSTED" in str(e) and attempt < 2:
-                    log("HBM not reclaimed; cooling down 90s")
-                    time.sleep(90)
-                else:
-                    break
 
-    print(json.dumps({
+    return {
         "metric": "generate_events_per_sec",
         "value": round(events_per_sec, 4),
         "unit": "events/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "extra": extra,
-    }))
+    }
+
+
+def phase_train() -> dict:
+    """Train-step throughput phase (fresh process = fresh chip client)."""
+    _setup_jax()
+    from ieagan_tpu.core.config import DEFAULT_CONFIG
+
+    config = dict(DEFAULT_CONFIG)
+    if os.environ.get("BENCH_TRAIN_REMAT"):
+        config["remat"] = True
+    extra = bench_train(config)
+    if os.environ.get("BENCH_TRAIN_REMAT"):
+        # leaked HBM from dead clients (tunneled-chip hazard): the remat
+        # step trades ~7% time for much less activation memory — mark the
+        # number as a fallback only when a retry actually substituted it.
+        extra["train_remat_fallback"] = True
+    return extra
+
+
+def _run_phase(phase: str, env_extra: dict | None = None,
+               timeout: float = 2400.0) -> dict | None:
+    """Run one bench phase in a fresh subprocess; returns its result dict
+    or None on failure. stderr streams through for the driver log."""
+    with tempfile.NamedTemporaryFile(
+            mode="r", suffix=".json", delete=False) as fp:
+        out_path = fp.name
+    env = dict(os.environ)
+    env.update(env_extra or {})
+    env["BENCH_PHASE"] = phase
+    env["BENCH_PHASE_OUT"] = out_path
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, timeout=timeout)
+        if proc.returncode != 0:
+            log(f"phase {phase}: subprocess rc={proc.returncode}")
+            return None
+        with open(out_path) as f:
+            return json.load(f)
+    except subprocess.TimeoutExpired:
+        log(f"phase {phase}: timed out after {timeout}s")
+        return None
+    except Exception as e:
+        log(f"phase {phase}: {e}")
+        return None
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def main():
+    phase = os.environ.get("BENCH_PHASE")
+    if phase:  # child process: run one phase, dump JSON, exit
+        result = phase_generate() if phase == "generate" else phase_train()
+        with open(os.environ["BENCH_PHASE_OUT"], "w") as f:
+            json.dump(result, f)
+        return
+
+    if os.environ.get("BENCH_INPROCESS"):
+        result = phase_generate()
+        if os.environ.get("BENCH_TRAIN", "1") != "0":
+            try:
+                from ieagan_tpu.core.config import DEFAULT_CONFIG
+                result["extra"].update(bench_train(dict(DEFAULT_CONFIG)))
+            except Exception as e:
+                result["extra"]["train_error"] = str(e)[:200]
+        print(json.dumps(result))
+        return
+
+    result = _run_phase("generate")
+    if result is None:  # headline number must exist even if the chip is sick
+        log("generate phase failed; retrying once after 90s")
+        time.sleep(90)
+        result = _run_phase("generate")
+    if result is None:
+        print(json.dumps({"metric": "generate_events_per_sec", "value": None,
+                          "unit": "events/s", "vs_baseline": None,
+                          "extra": {"error": "generate phase failed twice"}}))
+        return
+
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        # Fresh client: the generate phase's exit released its HBM. Brief
+        # settle gap — rapid client churn can FAILED_PRECONDITION at init.
+        time.sleep(int(os.environ.get("BENCH_PHASE_GAP_S", "30")))
+        attempts = ({}, {"BENCH_TRAIN_REMAT": "1"})
+        for attempt, env_extra in enumerate(attempts):
+            train = _run_phase("train", env_extra)
+            if train is not None:
+                result["extra"].update(train)
+                break
+            if attempt + 1 < len(attempts):
+                log("train phase failed; cooling down 90s, retrying with remat")
+                time.sleep(90)
+        else:
+            result["extra"]["train_error"] = "train phase failed (all attempts)"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
