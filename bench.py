@@ -107,12 +107,21 @@ def bench_train(config) -> dict:
     jax.block_until_ready(metrics)
     log(f"train compile+first step: {time.time() - t0:.1f}s")
 
+    # Trace only the steady-state loop (BENCH_TRACE_STEADY=<dir>): tracing
+    # init+compile bloats the xplane by minutes of host events and slows
+    # init ~3x through the tunnel.
+    trace_dir = os.environ.get("BENCH_TRACE_STEADY")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     key = jax.random.PRNGKey(3)
     t0 = time.time()
     for i in range(n_steps):
         state, metrics = step(state, x, y, jax.random.fold_in(key, i))
     jax.block_until_ready(metrics)
     dt = time.time() - t0
+    if trace_dir:
+        jax.profiler.stop_trace()
+        log(f"steady-state trace -> {trace_dir}")
     steps_per_sec = n_steps / dt
     out = {"train_steps_per_sec": round(steps_per_sec, 4),
            "train_ms_per_step": round(1000.0 * dt / n_steps, 1),

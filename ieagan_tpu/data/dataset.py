@@ -59,7 +59,10 @@ def event_transform_stack(imgs: np.ndarray,
                           rng: np.random.Generator | None = None,
                           noise_scale: float = 4e-3) -> np.ndarray:
     """Vectorized uint8 fast path: (S, H, W) uint8 -> (S, H+6, W, 1)
-    float32 in [-1, 1]; bit-exact with event_transform's composed chain."""
+    float32 in [-1, 1]; bit-exact with event_transform's composed chain
+    when noise is disabled. With noise the add happens post-normalize
+    (2s*u on the [-1,1] scale vs the chain's pre-normalize (x+s*u-0.5)/0.5)
+    — identical real-number algebra, equal only up to one f32 ulp."""
     s, h, w = imgs.shape
     out = np.empty((s, h + 6, w), np.float32)
     out[:, :3] = -1.0

@@ -178,9 +178,20 @@ def _mode_options(mode: str):
     return "bilinear", 1.0
 
 
-@jax.jit
-def _moment_update(acc_s, acc_o, f):
-    return acc_s + f.sum(0), acc_o + f.T.astype(jnp.float32) @ f
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _moment_update(acc_s, acc_o, f, pilot):
+    """Accumulate first/second moments of PILOT-CENTERED features.
+
+    Centering by a first-batch pilot mean keeps the accumulated means near
+    zero, so the one-pass sigma assembly (o - n*mu*mu^T) loses almost
+    nothing to cancellation even in f32 at 2048 dims; precision='highest'
+    makes the X^T X itself f32-accurate on the MXU (default TPU matmul
+    precision is bf16-ish). Pinned against host f64 np.cov by
+    tests/test_fid.py::test_device_moments_match_host_cov_2048d.
+    """
+    fc = (f - pilot).astype(jnp.float32)
+    return (acc_s + fc.sum(0),
+            acc_o + jnp.matmul(fc.T, fc, precision="highest"))
 
 
 def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
@@ -193,9 +204,11 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
     generators amortize device dispatches — see make_generator_fn).
 
     return_moments=True returns (mu, sigma, n) with the moment accumulation
-    done on device (f32 X^T X; final mu/sigma assembled in f64 on host) —
+    done fully on device: features are centered by a first-batch pilot mean
+    and X^T X runs at precision='highest', which keeps the f32 one-pass
+    sigma within f64-np.cov round-off (test-pinned at 2048 dims). This is
     the transfer-light mode for the in-training FID hook on a
-    network-attached chip.
+    network-attached chip — nothing bulky ever crosses the tunnel.
     """
     del batch_size  # sizing comes from gen_fn's output
     interp, scale = _mode_options(mode)
@@ -210,6 +223,7 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
         # tunnel (the Frechet distance is also computed on device)
         acc_s = jnp.zeros((2048,), jnp.float32)
         acc_o = jnp.zeros((2048, 2048), jnp.float32)
+        pilot = None  # first-batch mean, fixed for the whole accumulation
     keys = jax.random.split(rng, 4096)
     i = 0
     while total < num_gen:
@@ -223,7 +237,9 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
         if return_moments:
             f_dev = extractor._apply(extractor.params, batch299)
             f_dev = f_dev[:num_gen - total]
-            acc_s, acc_o = _moment_update(acc_s, acc_o, f_dev)
+            if pilot is None:
+                pilot = f_dev.mean(0)
+            acc_s, acc_o = _moment_update(acc_s, acc_o, f_dev, pilot)
             total += int(f_dev.shape[0])
         else:
             f = extractor(batch299)
@@ -231,9 +247,9 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
             total += f.shape[0]
     if return_moments:
         mu, sigma = jax.jit(
-            lambda s, o, n: (s / n,
-                             (o - n * jnp.outer(s / n, s / n)) / (n - 1.0))
-        )(acc_s, acc_o, float(total))
+            lambda s, o, p, n: (p + s / n,
+                                (o - n * jnp.outer(s / n, s / n)) / (n - 1.0))
+        )(acc_s, acc_o, pilot, float(total))
         return mu, sigma, total  # device arrays: callers np.asarray if needed
     return np.concatenate(feats)[:num_gen]
 
@@ -367,10 +383,18 @@ _DEVICE_REF_STATS: dict = {}
 
 
 def _device_ref_stats(dataset_name, mode, mu, sigma):
-    """Reference stats uploaded once per (dataset, mode) and cached on
-    device — the periodic FID hook re-uses them every test."""
-    key = (dataset_name, mode)
+    """Reference stats uploaded once per stats FILE (path + mtime) and
+    cached on device — the periodic FID hook re-uses them every test, and
+    stats re-minted in-process (make_custom_stats overwrite=True) miss the
+    cache via the mtime and re-upload."""
+    path = _stats_path(dataset_name, mode)
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = None
+    key = (path, mtime)
     if key not in _DEVICE_REF_STATS:
+        _DEVICE_REF_STATS.clear()  # at most one live entry per process
         _DEVICE_REF_STATS[key] = (jnp.asarray(mu, jnp.float32),
                                   jnp.asarray(sigma, jnp.float32))
     return _DEVICE_REF_STATS[key]

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Long-campaign babysitter for the network-attached TPU: launches train.py
+# in the background and, whenever the run log goes stale (chip-server wedge:
+# client blocks forever mid-RPC), kills THAT PID (never pattern-kill),
+# waits out the server's client-churn window, and resumes from the latest
+# checkpoint. The stale threshold must exceed the first FID eval's compile
+# time (~6-8 min on the tunneled chip).
+#
+# Usage: scripts/campaign_watchdog.sh <logfile> <stale_seconds> -- <train.py args...>
+# Stop:  touch <logfile>.stop
+set -u
+LOG="$1"; STALE="$2"; shift 2
+[ "$1" = "--" ] && shift
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+
+attempt=0
+while true; do
+  if [ -f "$LOG.stop" ]; then echo "[watchdog] stop requested"; exit 0; fi
+  RESUME=()
+  if [ "$attempt" -gt 0 ]; then RESUME=(--resume true); fi
+  echo "[watchdog] launch attempt $attempt $(date +%H:%M:%S)" >> "$LOG"
+  PYTHONPATH="$REPO" python "$REPO/train.py" "$@" "${RESUME[@]}" >> "$LOG" 2>&1 &
+  PID=$!
+  echo "$PID" > "$LOG.pid"
+  while kill -0 "$PID" 2>/dev/null; do
+    sleep 30
+    if [ -f "$LOG.stop" ]; then
+      echo "[watchdog] stop requested; killing $PID"; kill "$PID"; exit 0
+    fi
+    now=$(date +%s); mod=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+    if [ $((now - mod)) -gt "$STALE" ]; then
+      echo "[watchdog] log stale $((now - mod))s; killing $PID $(date +%H:%M:%S)" >> "$LOG"
+      kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
+      break
+    fi
+  done
+  wait "$PID" 2>/dev/null
+  rc=$?
+  if [ "$rc" -eq 0 ]; then echo "[watchdog] train.py finished rc=0"; exit 0; fi
+  attempt=$((attempt + 1))
+  echo "[watchdog] rc=$rc; cooling down 75s before resume" >> "$LOG"
+  sleep 75   # rapid client churn after a kill hits FAILED_PRECONDITION
+done

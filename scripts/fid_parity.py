@@ -117,9 +117,18 @@ def run_shared_z(args, ref_fid, ref_g, G, params, state, extractor,
 
     from ieagan_tpu.eval import fid as fid_mod
 
+    if args.num_gen < 40:
+        raise SystemExit(f"--num-gen must be >= 40 (one event); "
+                         f"got {args.num_gen}")
+    if args.num_gen % 40:
+        # round up: truncating would silently report more samples than ran
+        print(f"num_gen {args.num_gen} is not a multiple of 40; "
+              f"using {(args.num_gen // 40 + 1) * 40}", file=sys.stderr)
+    n_batches = (args.num_gen + 39) // 40
+    args.num_gen = n_batches * 40
     batches = []
     torch.manual_seed(123)
-    for _ in range(args.num_gen // 40):
+    for _ in range(n_batches):
         z = ref_fid.trunc_trick(40, GEN_CFG["dim_z"], bound=1)
         y = torch.randperm(40)
         batches.append((z, y))

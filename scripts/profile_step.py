@@ -66,14 +66,12 @@ def main():
     config = dict(DEFAULT_CONFIG, **overrides)
 
     if args.trace_dir:
-        # trace only the steady-state loop: wrap bench_train's timed section
-        # by tracing the whole call after a warmup call would double-compile,
-        # so instead trace the full run (compile appears as one block, the
-        # steady steps follow — filter by step name in xprof).
-        jax.profiler.start_trace(args.trace_dir)
+        # bench_train traces ONLY its steady-state timed loop (tracing
+        # init/compile bloats the xplane and slows tunneled init ~3x);
+        # parse the result with scripts/trace_analysis.py
+        os.environ["BENCH_TRACE_STEADY"] = args.trace_dir
     out = bench.bench_train(config)
     if args.trace_dir:
-        jax.profiler.stop_trace()
         out["trace_dir"] = args.trace_dir
     out["overrides"] = overrides
     print(json.dumps(out))

@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Parse a jax.profiler trace (xplane.pb) into a measured per-op time table.
+
+The round-2 verdict asked for MEASURED device-time / HBM-bandwidth evidence
+(XLA cost-analysis bytes over wall time over-estimated bandwidth past the
+v5e roofline). This reads the TPU device plane from the xplane protobuf
+(via tensorflow's bundled proto — no tensorboard_plugin_profile needed) and
+aggregates per-op durations, so claims like "conv X takes Y ms" come from
+the hardware trace, not from static analysis.
+
+Usage:
+  python scripts/trace_analysis.py /tmp/trace_dir [--top 40] [--steps N]
+  (trace_dir is the dir passed to jax.profiler.start_trace; the xplane.pb
+   is found under plugins/profile/<run>/)
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import re
+import sys
+
+
+def find_xplane(trace_dir: str) -> str:
+    cands = sorted(glob.glob(os.path.join(
+        trace_dir, "plugins", "profile", "*", "*.xplane.pb")))
+    if not cands:
+        cands = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                                 recursive=True))
+    if not cands:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    return cands[-1]
+
+
+def load_planes(path: str):
+    from tensorflow.core.profiler.protobuf import xplane_pb2
+    xspace = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xspace.ParseFromString(f.read())
+    return xspace
+
+
+_FUSION_KIND = re.compile(r"^(fusion|copy|convolution|dot|all-reduce|"
+                          r"dynamic-slice|dynamic-update-slice|rng|"
+                          r"reduce|transpose|custom-call|select|scatter)")
+
+
+def classify(name: str) -> str:
+    """Rough op-class from the HLO op name."""
+    base = name.split(".")[0].split("%")[-1]
+    if "convolution" in name or base.startswith("conv"):
+        return "convolution"
+    if base.startswith(("dot", "gemm")):
+        return "dot"
+    if base.startswith("copy"):
+        return "copy"
+    if base.startswith(("all-reduce", "all-gather", "reduce-scatter",
+                        "collective")):
+        return "collective"
+    if base.startswith(("dynamic-update-slice", "dynamic-slice")):
+        return "dyn-slice"
+    if base.startswith("custom-call") or "custom" in base:
+        return "custom-call"
+    if base.startswith(("rng", "bitcast")):
+        return base
+    if base.startswith("fusion"):
+        return "fusion"
+    return base or name[:24]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    path = find_xplane(args.trace_dir)
+    print(f"xplane: {path}", file=sys.stderr)
+    xspace = load_planes(path)
+
+    dev_planes = [p for p in xspace.planes
+                  if "TPU" in p.name or "/device" in p.name.lower()]
+    if not dev_planes:
+        print("planes found:", [p.name for p in xspace.planes],
+              file=sys.stderr)
+        raise SystemExit("no TPU device plane in trace")
+
+    per_op = collections.Counter()       # op name -> total ps
+    per_op_n = collections.Counter()     # op name -> occurrences
+    per_class = collections.Counter()    # class -> total ps
+    total_ps = 0
+    span_start, span_end = None, None
+    for plane in dev_planes:
+        # XPlane: lines (threads/queues) -> events; metadata id->name
+        ev_meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            lname = line.name.lower()
+            # keep compute queues; skip host threads & step-markers
+            if "step" in lname and "xla" not in lname:
+                continue
+            for ev in line.events:
+                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps
+                t0 = ev.offset_ps
+                span_start = t0 if span_start is None else min(span_start, t0)
+                span_end = (t0 + dur if span_end is None
+                            else max(span_end, t0 + dur))
+                per_op[name] += dur
+                per_op_n[name] += 1
+                per_class[classify(name)] += dur
+                total_ps += dur
+
+    span_ms = (span_end - span_start) / 1e9 if span_start is not None else 0.0
+    busy_ms = total_ps / 1e9
+    print(f"device busy: {busy_ms:.1f} ms over {span_ms:.1f} ms span "
+          f"({100 * busy_ms / span_ms if span_ms else 0:.1f}% occupancy)")
+    print("\n== by op class ==")
+    for cls, ps in per_class.most_common(20):
+        print(f"  {cls:24s} {ps / 1e9:9.2f} ms  ({100 * ps / total_ps:5.1f}%)")
+    print(f"\n== top {args.top} ops by total time ==")
+    rows = []
+    for name, ps in per_op.most_common(args.top):
+        n = per_op_n[name]
+        rows.append({"op": name, "ms": ps / 1e9, "count": n,
+                     "ms_each": ps / 1e9 / n})
+        print(f"  {ps / 1e9:9.2f} ms  x{n:<5d} ({ps / 1e9 / n:7.3f} ms ea)  "
+              f"{name[:100]}")
+    if args.json:
+        import json
+        out = {"busy_ms": busy_ms, "span_ms": span_ms,
+               "by_class": {k: v / 1e9 for k, v in per_class.items()},
+               "top_ops": rows}
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

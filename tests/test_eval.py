@@ -99,6 +99,44 @@ class TestFrechet:
             mu2.astype(np.float32), s2.astype(np.float32)))
         assert abs(dev - host) / host < 1e-4, (host, dev)
 
+    def test_device_moments_match_host_cov_2048d(self):
+        """The on-device f32 moment accumulation (pilot-centered, highest-
+        precision X^T X) must reproduce host f64 np.cov at the real feature
+        width (2048) with a realistic non-zero mean — the cancellation
+        regime the one-pass formula is worst at. Guards the in-training FID
+        hook's numerics (fid_moments_on_device default)."""
+        rng = np.random.RandomState(7)
+        d, n, bs = 2048, 1920, 320
+        # Inception-pool-like features: non-negative-ish, per-dim offsets
+        mean = rng.rand(d).astype(np.float64) * 0.8
+        scale = (0.05 + rng.rand(d) * 0.5).astype(np.float64)
+        feats = (rng.randn(n, d) * scale + mean).astype(np.float32)
+
+        acc_s = jnp.zeros((d,), jnp.float32)
+        acc_o = jnp.zeros((d, d), jnp.float32)
+        pilot = jnp.asarray(feats[:bs].mean(0))
+        for i in range(0, n, bs):
+            acc_s, acc_o = fid_mod._moment_update(
+                acc_s, acc_o, jnp.asarray(feats[i:i + bs]), pilot)
+        mu_dev = np.asarray(pilot, np.float64) + np.asarray(acc_s, np.float64) / n
+        s_over_n = np.asarray(acc_s, np.float64) / n
+        sig_dev = (np.asarray(acc_o, np.float64)
+                   - n * np.outer(s_over_n, s_over_n)) / (n - 1)
+
+        mu_host = feats.astype(np.float64).mean(0)
+        sig_host = np.cov(feats.astype(np.float64), rowvar=False)
+        assert np.abs(mu_dev - mu_host).max() < 1e-5
+        # relative Frobenius error of the covariance
+        rel = (np.linalg.norm(sig_dev - sig_host)
+               / np.linalg.norm(sig_host))
+        assert rel < 1e-4, rel
+        # and the FID the two covariance paths produce must agree closely
+        mu2 = mu_host + 0.05
+        sig2 = sig_host * 1.1
+        f_host = fid_mod.frechet_distance(mu_host, sig_host, mu2, sig2)
+        f_dev = fid_mod.frechet_distance(mu_dev, sig_dev, mu2, sig2)
+        assert abs(f_dev - f_host) / max(abs(f_host), 1e-9) < 5e-3, (f_host, f_dev)
+
     def test_packed_device_put_roundtrip(self):
         from ieagan_tpu.utils.transfer import packed_device_put
         rng = np.random.RandomState(2)

@@ -176,6 +176,35 @@ class TestLosses:
             t, margin))
         assert got == pytest.approx(float(want), rel=1e-5)
 
+    def test_contra_loss_pos_collected_reference_formula(self):
+        """pos_collected_numerator=True: the numerator additionally collects
+        same-class off-diagonal instance similarities (reference:
+        loss.py:116-123 — remove_diag(negative_mask[labels]) * instance_zone,
+        summed). Labels repeat so same-class positives actually exist."""
+        rng = np.random.RandomState(11)
+        b, d, ncls = 8, 8, 4
+        embed = rng.randn(b, d).astype(np.float32)
+        proxy = rng.randn(b, d).astype(np.float32)
+        labels = np.array([0, 1, 2, 3, 0, 1, 2, 3])
+        t, margin = 1.0, 0.0
+
+        def norm(a):
+            return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+        sim = norm(embed) @ norm(embed).T
+        inst_zone = np.exp((sim - margin) / t)
+        i2p = np.exp((np.sum(norm(embed) * norm(proxy), -1) - margin) / t)
+        off = ~np.eye(b, dtype=bool)
+        same_class = (labels[:, None] == labels[None, :])
+        numerator = i2p + (inst_zone * off * same_class).sum(1)
+        denom = i2p + (inst_zone * off).sum(1)
+        want = -np.mean(np.log(t * numerator / denom))
+        mask = losses.make_mask(jnp.asarray(labels), ncls)
+        got = float(losses.conditional_contrastive_loss(
+            jnp.asarray(embed), jnp.asarray(proxy), mask, jnp.asarray(labels),
+            t, margin, pos_collected_numerator=True))
+        assert got == pytest.approx(float(want), rel=1e-5)
+
     def test_make_mask(self):
         y = jnp.array([0, 2, 1, 0])
         m = np.asarray(losses.make_mask(y, 3))
