@@ -35,6 +35,27 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def parse_mesh_spec(spec) -> tuple[int, int]:
+    """Parse the ``mesh`` config key -> (n_data, n_model).
+
+    Accepts a dict ({"data": N[, "model": M]}, the documented JSON form), a
+    string ("NxM", "N", or "data:N,model:M"), or an int (pure data
+    parallel). The CLI flag arrives as a string.
+    """
+    if isinstance(spec, dict):
+        return int(spec.get("data", 1)), int(spec.get("model", 1))
+    if isinstance(spec, int):
+        return spec, 1
+    s = str(spec).strip().lower()
+    if ":" in s:  # "data:4,model:2"
+        parts = dict(kv.split(":") for kv in s.split(","))
+        return int(parts.get("data", 1)), int(parts.get("model", 1))
+    if "x" in s:  # "4x2"
+        a, b = s.split("x")
+        return int(a), int(b)
+    return int(s), 1
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for batched arrays with a leading (event-)batch axis."""
     return NamedSharding(mesh, P("data"))

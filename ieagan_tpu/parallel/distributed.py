@@ -45,6 +45,15 @@ def initialize(coordinator_address: str | None = None,
             and not os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
         # nothing to coordinate with — single-process run
         return
+    # explicit env-var topology (CPU/GPU fleets and the multihost dryrun;
+    # TPU pods auto-detect everything from the TPU metadata)
+    if coordinator_address is None:
+        coordinator_address = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                               or os.environ.get("COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -62,20 +62,33 @@ def batch_shardings(mesh: Mesh):
 
 
 def make_sharded_train_step(G, D, config, mesh: Mesh,
-                            tensor_parallel: bool = False):
+                            tensor_parallel: bool = False,
+                            steps_per_epoch: int = 0,
+                            device_transform: bool = False):
     """jit the fused train step over the mesh.
 
     Inputs (x, y, rng keys) are batch-sharded over "data"; state placement
     follows wherever the caller device_put it (replicated or tp-sharded) —
-    jit propagates shardings from the operands.
+    jit propagates shardings from the operands. With ``device_transform``
+    the raw-uint8 pad/lognorm/noise chain is fused in front of the step
+    (same contract as the driver's single-chip path).
     """
     from ieagan_tpu.train.step import make_train_step
     from ieagan_tpu.parallel.distributed import host_local_batch
 
-    step = make_train_step(G, D, config)
+    step = make_train_step(G, D, config, steps_per_epoch)
     data_sh = batch_shardings(mesh)
 
-    jitted = jax.jit(step, donate_argnums=(0,))
+    if device_transform:
+        from ieagan_tpu.ops.image_norm import device_event_transform
+
+        def step_with_transform(state, raw, y, rng):
+            rng, kn = jax.random.split(rng)
+            return step(state, device_event_transform(raw, kn), y, rng)
+
+        jitted = jax.jit(step_with_transform, donate_argnums=(0,))
+    else:
+        jitted = jax.jit(step, donate_argnums=(0,))
 
     def run(state, x, y, rng):
         # host batches -> globally sharded arrays (multi-process: x/y are

@@ -40,6 +40,15 @@ def _sv_packer():
     return pack
 
 
+def _fetch(arr) -> np.ndarray:
+    """Device->host for possibly-global (multi-host) arrays: a replicated
+    global array is not fully addressable, but any one of its addressable
+    shards holds the full value."""
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        return np.asarray(arr.addressable_data(0))
+    return np.asarray(arr)
+
+
 def get_singular_values(state, prefix: str) -> dict:
     """Flatten logged SN singular values (reference:
     utils/__init__.py:572-588 formats keys with underscores).
@@ -58,7 +67,7 @@ def get_singular_values(state, prefix: str) -> dict:
             leaves.append(leaf)
     if not names:
         return {}
-    vals = np.asarray(_sv_packer()(tuple(leaves)))
+    vals = _fetch(_sv_packer()(tuple(leaves)))
     return dict(zip(names, vals.astype(float)))
 
 
@@ -80,6 +89,7 @@ def save_event_grid(imgs, path):
 
 def run(config: dict):
     device_count = jax.device_count()
+    is_main = jax.process_index() == 0
     rng = seed_rng(int(config["seed"]))
     es = event_size(config)
     epb = int(config.get("events_per_batch", 1))
@@ -94,9 +104,11 @@ def run(config: dict):
     state = init_train_state(G, D, config, k_init)
     n_params_g = sum(x.size for x in jax.tree_util.tree_leaves(state.params_G))
     n_params_d = sum(x.size for x in jax.tree_util.tree_leaves(state.params_D))
-    print(f"Param count for G: {n_params_g}")
-    print(f"Param count for D: {n_params_d}")
-    print(f"devices: {device_count}, events/batch: {epb}")
+    if is_main:
+        print(f"Param count for G: {n_params_g}")
+        print(f"Param count for D: {n_params_d}")
+        print(f"devices: {device_count} ({jax.process_count()} processes), "
+              f"events/batch: {epb}")
 
     state_dict = {"itr": 0, "epoch": 0, "save_num": 0, "save_best_num": 0,
                   "best_FID": 999999.0}
@@ -105,14 +117,18 @@ def run(config: dict):
     if config.get("resume"):
         tag = latest_checkpoint(weights_dir)
         if tag:
-            print(f"Resuming from checkpoint '{tag}'")
+            if is_main:
+                print(f"Resuming from checkpoint '{tag}'")
             state, state_dict = load_checkpoint(
                 weights_dir, state, tag,
                 load_optim=bool(config.get("load_optim", True)))
 
-    train_log = Logger(config)
-    metrics_log = MetricsLogger(config)
-    write_metadata(config, state_dict)
+    # Log sinks write files — process 0 only; other processes still track
+    # state_dict so best/rotation bookkeeping stays consistent everywhere.
+    train_log = Logger(config) if is_main else None
+    metrics_log = MetricsLogger(config) if is_main else None
+    if is_main:
+        write_metadata(config, state_dict)
 
     # Data
     if config.get("debug") or not config.get("dataroot"):
@@ -126,11 +142,16 @@ def run(config: dict):
         h_dbg = int(config["resolution"])
         w_dbg = h_dbg * int(config["H_base"])
         n_distinct = min(steps_per_epoch, 4)
+        # multi-process: each process contributes its LOCAL events only
+        # (host_local_batch assembles the global batch in the step wrapper)
+        epb_local = epb // jax.process_count()
         make_batch = jax.jit(lambda k: jax.random.uniform(
-            k, (es_dbg * epb, h_dbg, w_dbg, 1), jnp.float32, -1.0, 1.0))
+            k, (es_dbg * max(1, epb_local), h_dbg, w_dbg, 1),
+            jnp.float32, -1.0, 1.0))
         dbg_batches = [
-            (make_batch(jax.random.PRNGKey(int(config["seed"]) + i)),
-             jnp.tile(jnp.arange(es_dbg, dtype=jnp.int32), epb))
+            (make_batch(jax.random.PRNGKey(
+                int(config["seed"]) + i + 1000 * jax.process_index())),
+             jnp.tile(jnp.arange(es_dbg, dtype=jnp.int32), max(1, epb_local)))
             for i in range(n_distinct)]
 
         def loader_factory():
@@ -151,34 +172,57 @@ def run(config: dict):
         loader_factory = lambda: loader
         steps_per_epoch = len(loader)
 
-    # Multi-chip: shard events over the data axis of a mesh; the same fused
-    # step compiles with XLA collectives for the gradient/BN reductions.
+    # Multi-chip/multi-host: shard events over the data axis of a mesh; the
+    # same fused step compiles with XLA collectives for the gradient/BN
+    # reductions. The `mesh` config key ({"data": N[, "model": M]}, "NxM",
+    # or N) is the explicit pod-scale control; without it a data-only mesh
+    # is auto-built when the batch can fill the local devices.
     mesh = None
-    if device_count > 1 and int(config.get("events_per_batch", 1)) >= device_count:
+    tensor_parallel = False
+    use_device_transform = (not config.get("debug") and config.get("dataroot")
+                            and bool(config.get("device_transform", False)))
+    mesh_cfg = config.get("mesh")
+    if mesh_cfg:
+        from ieagan_tpu.core.mesh import make_mesh, parse_mesh_spec
+        n_data, n_model = parse_mesh_spec(mesh_cfg)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        tensor_parallel = n_model > 1
+        if epb % n_data:
+            raise ValueError(f"events_per_batch={epb} must divide over the "
+                             f"mesh data axis ({n_data})")
+    elif device_count > 1 and epb >= device_count:
         from ieagan_tpu.core.mesh import make_mesh
-        from ieagan_tpu.parallel.sharding import place_state, batch_shardings
         mesh = make_mesh(n_data=device_count)
-        state = place_state(state, mesh)
+    if mesh is not None:
+        from ieagan_tpu.parallel.sharding import (
+            place_state, batch_shardings, make_sharded_train_step)
+        state = place_state(state, mesh, tensor_parallel=tensor_parallel)
         batch_sh = batch_shardings(mesh)
-        if not config.get("debug") and config.get("dataroot"):
+        if (not config.get("debug") and config.get("dataroot")
+                and jax.process_count() == 1):
             loader.sharding = batch_sh  # loader thread shards the upload
-        print(f"mesh: {dict(mesh.shape)}")
-    base_step = make_train_step(G, D, config, steps_per_epoch)
-    if (not config.get("debug") and config.get("dataroot")
-            and bool(config.get("device_transform", False))):
-        # uint8 batches cross the wire; the pad/lognorm/noise transform is
-        # fused into the jitted step (ops/image_norm.py, config key
-        # device_transform)
-        from ieagan_tpu.ops.image_norm import device_event_transform
-
-        def step_with_transform(state, raw, y, rng):
-            rng, kn = jax.random.split(rng)
-            x = device_event_transform(raw, kn)
-            return base_step(state, x, y, rng)
-
-        train_step = jax.jit(step_with_transform, donate_argnums=(0,))
+        if is_main:
+            print(f"mesh: {dict(mesh.shape)} tp={tensor_parallel}")
+        train_step = make_sharded_train_step(
+            G, D, config, mesh, tensor_parallel=tensor_parallel,
+            steps_per_epoch=steps_per_epoch,
+            device_transform=use_device_transform)
     else:
-        train_step = jax.jit(base_step, donate_argnums=(0,))
+        base_step = make_train_step(G, D, config, steps_per_epoch)
+        if use_device_transform:
+            # uint8 batches cross the wire; the pad/lognorm/noise transform
+            # is fused into the jitted step (ops/image_norm.py, config key
+            # device_transform)
+            from ieagan_tpu.ops.image_norm import device_event_transform
+
+            def step_with_transform(state, raw, y, rng):
+                rng, kn = jax.random.split(rng)
+                x = device_event_transform(raw, kn)
+                return base_step(state, x, y, rng)
+
+            train_step = jax.jit(step_with_transform, donate_argnums=(0,))
+        else:
+            train_step = jax.jit(base_step, donate_argnums=(0,))
 
     itr = int(state.itr)
     t_start = time.time()
@@ -195,11 +239,12 @@ def run(config: dict):
             itr += 1
             state_dict["itr"] = itr
             rng, k_step = jax.random.split(rng)
-            x = jnp.asarray(x)
-            y = jnp.asarray(y)
-            if mesh is not None:
-                x = jax.device_put(x, batch_sh)
-                y = jax.device_put(y, batch_sh)
+            if mesh is None:
+                x = jnp.asarray(x)
+                y = jnp.asarray(y)
+            # mesh path: the sharded step wrapper places host batches
+            # itself (host_local_batch — multi-process safe); batches the
+            # loader already device_put with the data sharding pass through.
             if trace_dir and itr == trace_start:
                 jax.profiler.start_trace(str(trace_dir))
                 tracing = True
@@ -214,22 +259,23 @@ def run(config: dict):
                 # one packed transfer (per-scalar fetches pay a tunnel round
                 # trip each)
                 keys_sorted = sorted(metrics)
-                packed = np.asarray(_sv_packer()(
+                packed = _fetch(_sv_packer()(
                     tuple(metrics[k] for k in keys_sorted)))
                 now = time.time()
                 metrics_host = dict(zip(keys_sorted, packed.astype(float)))
                 sec_per_itr = (now - t_last_log) / int(config["log_interval"])
                 t_last_log = now
-                print(f"itr {itr} ({now - t_start:.1f}s, "
-                      f"{sec_per_itr:.3f}s/itr): " + ", ".join(
-                          f"{k}={v:.4f}" for k, v in metrics_host.items()))
-                train_log.log(itr, sec_per_itr=sec_per_itr, **metrics_host)
+                if is_main:
+                    print(f"itr {itr} ({now - t_start:.1f}s, "
+                          f"{sec_per_itr:.3f}s/itr): " + ", ".join(
+                              f"{k}={v:.4f}" for k, v in metrics_host.items()))
+                    train_log.log(itr, sec_per_itr=sec_per_itr, **metrics_host)
 
             if itr % int(config["sv_log_interval"]) == 0:
                 svs = {}
                 svs.update(get_singular_values(state.state_G.get("spectral", {}), "G"))
                 svs.update(get_singular_values(state.state_D.get("spectral", {}), "D"))
-                if svs:
+                if svs and is_main:
                     train_log.log(itr, **svs)
 
             if itr % int(config["save_every"]) == 0:
@@ -250,10 +296,14 @@ def run(config: dict):
 
 def save_and_sample(G, state, state_dict, config, runpath):
     """Checkpoint + fixed-z sample grid (reference:
-    utils/__init__.py:299-365)."""
+    utils/__init__.py:299-365). Multi-process: every process runs the
+    (global) sample programs; only process 0 touches the filesystem — the
+    checkpoint fetch itself is process-local (see checkpoint._to_host)."""
+    is_main = jax.process_index() == 0
     weights_dir = runpath / "weights"
     itr = state_dict["itr"]
-    save_checkpoint(weights_dir, state, state_dict, f"copy{itr}")
+    if is_main:
+        save_checkpoint(weights_dir, state, state_dict, f"copy{itr}")
     # rotation bookkeeping (reference save_num semantics)
     if int(config.get("num_save_copies", 2)) > 0:
         state_dict["save_num"] = (state_dict.get("save_num", 0) + 1) \
@@ -274,8 +324,9 @@ def save_and_sample(G, state, state_dict, config, runpath):
     imgs = jax.jit(lambda p, s: G.apply(
         {"params": p, **s}, z, y, train=False,
         rngs={"rdof": jax.random.PRNGKey(0)}))(params, gstate)
-    save_event_grid(np.asarray(imgs.astype(jnp.float32)),
-                    runpath / "samples" / f"fixed_samples{itr}.jpg")
+    if is_main:
+        save_event_grid(_fetch(imgs.astype(jnp.float32)),
+                        runpath / "samples" / f"fixed_samples{itr}.jpg")
     # per-class sample sheet (reference: utils/__init__.py:419-476 saves
     # classes x samples sheets each checkpoint)
     if int(config.get("samples_per_class_sheet", 4)) > 0:
@@ -285,20 +336,24 @@ def save_and_sample(G, state, state_dict, config, runpath):
                               jax.random.PRNGKey(itr),
                               samples_per_class=int(
                                   config.get("samples_per_class_sheet", 4)))
+        sheets = _fetch(sheets)
         # one strip per class: (samples, H-6, W) tiled rows
-        plot_imgs(sheets.reshape(-1, *sheets.shape[2:]),
-                  runpath / "samples" / f"sample_sheet{itr}.jpg",
-                  ncol=sheets.shape[1])
+        if is_main:
+            plot_imgs(sheets.reshape(-1, *sheets.shape[2:]),
+                      runpath / "samples" / f"sample_sheet{itr}.jpg",
+                      ncol=sheets.shape[1])
     # proxy / G-embedding cosine-similarity heatmaps
     # (reference: train.py:196-229, utils/plot.py:29-70)
+    if not is_main:
+        return
     try:
         from ieagan_tpu.utils.plot import plot_sim_heatmap
-        shared = np.asarray(params["shared"]["embedding"])
+        shared = _fetch(params["shared"]["embedding"])
         plot_sim_heatmap(shared, runpath / "samples" / f"sim_heatmap_G{itr}.jpg",
                          title=f"G shared-embedding similarity @ {itr}")
         proxies = state.params_D.get("embed", {}).get("embedding")
         if proxies is not None:
-            plot_sim_heatmap(np.asarray(proxies),
+            plot_sim_heatmap(_fetch(proxies),
                              runpath / "samples" / f"sim_heatmap_D{itr}.jpg",
                              title=f"D class-proxy similarity @ {itr}")
     except Exception as e:  # plotting must never kill training
@@ -312,21 +367,26 @@ def run_test(G, state, state_dict, config, metrics_log):
     except ImportError:
         print("FID engine unavailable; skipping test")
         return
+    is_main = jax.process_index() == 0
     try:
         fid = compute_fid_from_state(G, state, config)
     except FileNotFoundError as e:
-        print(f"FID reference stats unavailable ({e}); skipping test")
+        if is_main:
+            print(f"FID reference stats unavailable ({e}); skipping test")
         return
-    print(f"The FID score is {fid}")
+    if is_main:
+        print(f"The FID score is {fid}")
     if config.get("which_best", "FID") == "FID" and fid < state_dict["best_FID"]:
         # Write the best-tagged checkpoint with num_best_copies rotation
         # (reference: train_fns.py:222-231, utils/__init__.py:689-726).
         n = state_dict.get("save_best_num", 0)
         weights_dir = (pathlib.Path(config["outputroot"]) / config["run_name"]
                        / "weights")
-        save_checkpoint(weights_dir, state,
-                        dict(state_dict, best_FID=float(fid)), f"best{n}")
+        if is_main:
+            save_checkpoint(weights_dir, state,
+                            dict(state_dict, best_FID=float(fid)), f"best{n}")
         state_dict["save_best_num"] = (n + 1) % int(
             config.get("num_best_copies", 2))
     state_dict["best_FID"] = min(state_dict["best_FID"], fid)
-    metrics_log.log(itr=int(state_dict["itr"]), FID=float(fid))
+    if is_main:
+        metrics_log.log(itr=int(state_dict["itr"]), FID=float(fid))

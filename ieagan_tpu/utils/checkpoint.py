@@ -45,6 +45,23 @@ def _to_host(tree):
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if not leaves or not any(hasattr(l, "devices") for l in leaves):
         return jax.tree_util.tree_map(np.asarray, tree)
+    if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+           for l in leaves):
+        # Multi-host arrays: the jit packer would be a GLOBAL program (a
+        # process-0-only save deadlocks a pod), so fetch each leaf's local
+        # shard instead — replicated leaves carry the full value in any
+        # addressable shard. TP-sharded params would need an allgather
+        # first; refuse loudly rather than save garbage.
+        def fetch(l):
+            if isinstance(l, jax.Array) and not l.is_fully_addressable:
+                if not l.is_fully_replicated:
+                    raise NotImplementedError(
+                        "checkpointing tensor-parallel multi-host params "
+                        "requires an allgather; gather before saving")
+                return np.asarray(l.addressable_data(0))
+            return np.asarray(l)
+        return jax.tree_util.tree_unflatten(
+            treedef, [fetch(l) for l in leaves])
     groups: dict = {}
     for i, leaf in enumerate(leaves):
         groups.setdefault(np.dtype(getattr(leaf, "dtype", np.asarray(leaf).dtype)),

