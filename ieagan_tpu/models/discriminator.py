@@ -30,6 +30,16 @@ from ieagan_tpu.ops.rrm import RelationalReasoning
 from ieagan_tpu.models.generator import ACTIVATIONS
 
 
+def avg_pool_2x2(x):
+    """2x2 stride-2 average pool (reference: F.avg_pool2d, model.py:497).
+
+    Kept as reduce-window: reformulations that avoid its spatial-minor
+    layout (strided-slice add, reshape+mean) were measured to blow the
+    flagship step's HBM budget at compile (18-22G vs 15.75G) — their
+    backwards break the auto-remat schedule the baseline relies on."""
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
 class DBlock(nn.Module):
     """BigGAN-deep discriminator bottleneck block (reference: model.py:490-557):
     1x1 -> 3x3 -> 3x3 (pre-activations) -> avgpool -> 1x1, with a
@@ -55,13 +65,13 @@ class DBlock(nn.Module):
             act(h), update_stats=update_stats)
         h = act(h)
         if self.downsample:
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            h = avg_pool_2x2(h)
         h = self.which_conv(self.out_channels, kernel_size=(1, 1), name="conv4")(
             h, update_stats=update_stats)
         # shortcut (reference: model.py:534-539)
         sc = x
         if self.downsample:
-            sc = nn.avg_pool(sc, (2, 2), strides=(2, 2))
+            sc = avg_pool_2x2(sc)
         if self.in_channels != self.out_channels:
             extra = self.which_conv(self.out_channels - self.in_channels,
                                     kernel_size=(1, 1), name="conv_sc")(

@@ -36,7 +36,10 @@ def find_xplane(trace_dir: str) -> str:
 
 
 def load_planes(path: str):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:  # moved in tf>=2.16
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     xspace = xplane_pb2.XSpace()
     with open(path, "rb") as f:
         xspace.ParseFromString(f.read())
@@ -89,19 +92,37 @@ def main():
               file=sys.stderr)
         raise SystemExit("no TPU device plane in trace")
 
-    per_op = collections.Counter()       # op name -> total ps
+    # The TPU device plane has distinct lines: 'XLA Ops' is the SYNCHRONOUS
+    # TensorCore timeline (non-overlapping, sums to the step time); 'Async
+    # XLA Ops' holds copy-start/done prefetch windows that OVERLAP compute —
+    # summing both double-counts (round-3 fix: >500% "occupancy").
+    per_op = collections.Counter()       # op name -> total ps (sync line)
     per_op_n = collections.Counter()     # op name -> occurrences
-    per_class = collections.Counter()    # class -> total ps
+    per_class = collections.Counter()    # class -> total ps (sync line)
     total_ps = 0
+    async_merged_ps = 0                  # async-copy busy (interval union)
     span_start, span_end = None, None
     for plane in dev_planes:
         # XPlane: lines (threads/queues) -> events; metadata id->name
         ev_meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
         for line in plane.lines:
             lname = line.name.lower()
-            # keep compute queues; skip host threads & step-markers
-            if "step" in lname and "xla" not in lname:
+            if "async" in lname:
+                ivals = sorted((ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                               for ev in line.events)
+                cur_s = cur_e = None
+                for s, e in ivals:
+                    if cur_e is None or s > cur_e:
+                        if cur_e is not None:
+                            async_merged_ps += cur_e - cur_s
+                        cur_s, cur_e = s, e
+                    else:
+                        cur_e = max(cur_e, e)
+                if cur_e is not None:
+                    async_merged_ps += cur_e - cur_s
                 continue
+            if "xla ops" not in lname:
+                continue  # Steps / XLA Modules / Scalar Unit / overlays
             for ev in line.events:
                 name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
                 dur = ev.duration_ps
@@ -116,8 +137,9 @@ def main():
 
     span_ms = (span_end - span_start) / 1e9 if span_start is not None else 0.0
     busy_ms = total_ps / 1e9
-    print(f"device busy: {busy_ms:.1f} ms over {span_ms:.1f} ms span "
-          f"({100 * busy_ms / span_ms if span_ms else 0:.1f}% occupancy)")
+    print(f"TensorCore sync busy: {busy_ms:.1f} ms over {span_ms:.1f} ms "
+          f"span ({100 * busy_ms / span_ms if span_ms else 0:.1f}% occupancy)"
+          f"; async-copy busy (union): {async_merged_ps / 1e9:.1f} ms")
     print("\n== by op class ==")
     for cls, ps in per_class.most_common(20):
         print(f"  {cls:24s} {ps / 1e9:9.2f} ms  ({100 * ps / total_ps:5.1f}%)")
