@@ -38,10 +38,16 @@ def initialize(coordinator_address: str | None = None,
     if _initialized:
         return
     import os
+    # TPU_WORKER_HOSTNAMES counts as a pod signal only with >1 host:
+    # single-host runtimes (including this machine's tunnel shim) set it
+    # to one hostname, and jax.distributed.initialize would then demand a
+    # coordinator_address it has no way to derive.
+    worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = "," in worker_hosts
     if (coordinator_address is None and num_processes is None
             and "JAX_COORDINATOR_ADDRESS" not in os.environ
             and "COORDINATOR_ADDRESS" not in os.environ
-            and not os.environ.get("TPU_WORKER_HOSTNAMES")
+            and not multi_worker
             and not os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
         # nothing to coordinate with — single-process run
         return

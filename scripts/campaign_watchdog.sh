@@ -19,7 +19,11 @@ while true; do
   RESUME=()
   if [ "$attempt" -gt 0 ]; then RESUME=(--resume true); fi
   echo "[watchdog] launch attempt $attempt $(date +%H:%M:%S)" >> "$LOG"
-  PYTHONPATH="$REPO" python "$REPO/train.py" "$@" "${RESUME[@]}" >> "$LOG" 2>&1 &
+  # APPEND to PYTHONPATH: on this machine the TPU plugin registers via a
+  # sitecustomize on the inherited PYTHONPATH — overwriting it drops the
+  # backend ("Backend 'axon' is not in the list of known backends").
+  PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" \
+    python "$REPO/train.py" "$@" "${RESUME[@]}" >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > "$LOG.pid"
   while kill -0 "$PID" 2>/dev/null; do

@@ -131,7 +131,7 @@ def parent_driver(args) -> int:
     procs = []
     for i in range(args.nprocs):
         env = dict(
-            os.environ, PYTHONPATH=REPO,
+            os.environ, PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
             IEAGAN_PLATFORM="cpu",
             IEAGAN_CACHE_DIR=os.path.join(REPO, ".jax_cache"),
             XLA_FLAGS=(f"--xla_force_host_platform_device_count="
@@ -192,7 +192,7 @@ def parent(args) -> int:
              "--nprocs", str(args.nprocs),
              "--devices-per-proc", str(args.devices_per_proc)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=dict(os.environ, PYTHONPATH=REPO)))
+            env=dict(os.environ, PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))))
     lines = []
     ok = True
     for i, p in enumerate(procs):

@@ -89,7 +89,7 @@ def test_generator_fid_parity_end_to_end(tmp_path):
     import subprocess
     real_dir = str(tmp_path / "real")
     _mint_folder(real_dir, 200, seed=3)
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "fid_parity.py"),
          "--num-gen", "200", "--num-real", "200", "--shared-z",
