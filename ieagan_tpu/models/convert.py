@@ -22,6 +22,7 @@ Layout mapping:
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import numpy as np
@@ -333,3 +334,131 @@ def load_into_variables(variables: dict, converted: dict) -> dict:
 
     return {col: merge(tree, converted.get(col, {}))
             for col, tree in variables.items()}
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-moment interop (mid-training migration both directions).
+#
+# The reference checkpoints G_optim/D_optim as torch Adam state dicts
+# (reference: utils/__init__.py:689-726 save/load of `.optim.state_dict()`),
+# keyed by parameter INDEX in `model.parameters()` order — which is the
+# state-dict key order restricted to trainable parameters (buffers like
+# u0/sv0/stored_mean/stored_var are registered after the parameters of each
+# module and are excluded). Adam moments are elementwise, so they follow
+# exactly the same path mapping + reshapes as the weights themselves: the
+# exporters below reuse the template-driven weight converters verbatim with
+# the moment trees standing in for `params`.
+# ---------------------------------------------------------------------------
+
+_TORCH_BUFFER_RE = re.compile(
+    r"\.(u\d+|sv\d+|stored_mean|stored_var|accumulation_counter|"
+    r"num_batches_tracked)$")
+
+
+def torch_param_names(template_state_dict: dict) -> list[str]:
+    """Ordered trainable-parameter keys of a reference state dict — the
+    torch optimizer's param indexing order (state-dict order minus
+    buffers)."""
+    return [k for k in template_state_dict if not _TORCH_BUFFER_RE.search(k)]
+
+
+def _find_adam_state(opt_state):
+    """Locate the single ScaleByAdamState (count/mu/nu) in an optax state
+    pytree (plain `optax.adam`, possibly inside a clip chain)."""
+    found = []
+
+    def walk(s):
+        if hasattr(s, "mu") and hasattr(s, "nu") and hasattr(s, "count"):
+            found.append(s)
+            return
+        if isinstance(s, (tuple, list)):
+            for c in s:
+                walk(c)
+
+    walk(opt_state)
+    if len(found) != 1:
+        raise ValueError(
+            f"expected exactly one Adam moment state, found {len(found)} "
+            "(amsgrad/adabelief moment interop is not supported)")
+    return found[0]
+
+
+def export_adam_to_torch(opt_state, template_state_dict: dict,
+                         which: str = "G", depth: int = 2) -> dict:
+    """Export an optax Adam state to a reference-layout torch
+    ``optim.state_dict()`` (numpy arrays), so a training run migrating back
+    to the reference keeps its moments (reference: utils/__init__.py:705)."""
+    adam = _find_adam_state(opt_state)
+    exporter = (export_generator_to_torch if which == "G"
+                else export_discriminator_to_torch)
+    names = torch_param_names(template_state_dict)
+    tmpl = {k: np.zeros_like(np.asarray(template_state_dict[k]))
+            for k in names}
+    import jax
+    as_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    avg = exporter({"params": as_np(adam.mu)}, tmpl, depth)
+    sq = exporter({"params": as_np(adam.nu)}, tmpl, depth)
+    step = int(np.asarray(adam.count))
+    return {
+        "state": {i: {"step": step,
+                      "exp_avg": avg[k], "exp_avg_sq": sq[k]}
+                  for i, k in enumerate(names)},
+        "param_groups": [{"params": list(range(len(names)))}],
+    }
+
+
+def convert_torch_adam(optim_state_dict: dict, template_state_dict: dict,
+                       params_template, opt_state,
+                       which: str = "G", depth: int = 2):
+    """Inverse: fill an optax Adam state's mu/nu from a reference torch
+    Adam ``state_dict()``. Params the torch state lacks (lazily
+    uninitialized) keep zero moments. Returns a new opt_state pytree."""
+    import jax
+
+    converter = (convert_torch_generator if which == "G"
+                 else convert_torch_discriminator)
+    names = torch_param_names(template_state_dict)
+    state = {int(k): v for k, v in optim_state_dict["state"].items()}
+
+    def moment_tree(field):
+        sd = {names[i]: st[field] for i, st in state.items()
+              if field in st and i < len(names)}
+        conv = converter(sd, depth)["params"]
+
+        def overlay(base, sub):
+            if not isinstance(base, dict):
+                if sub is None:
+                    return np.zeros_like(np.asarray(base))
+                v = np.asarray(sub, np.float32)
+                b = np.asarray(base)
+                assert v.shape == b.shape, \
+                    f"moment shape mismatch {v.shape} vs {b.shape}"
+                return v
+            return {k: overlay(val, sub.get(k)
+                               if isinstance(sub, dict) else None)
+                    for k, val in base.items()}
+
+        return overlay(params_template, conv)
+
+    mu = moment_tree("exp_avg")
+    nu = moment_tree("exp_avg_sq")
+    steps = [int(np.asarray(st["step"]).max()) for st in state.values()
+             if "step" in st]
+    count = np.int32(max(steps) if steps else 0)
+
+    adam = _find_adam_state(opt_state)
+
+    def replace(s):
+        if s is adam:
+            return s._replace(count=count, mu=mu, nu=nu)
+        if isinstance(s, tuple) and not hasattr(s, "_replace"):
+            return tuple(replace(c) for c in s)
+        if hasattr(s, "_replace") and not (hasattr(s, "mu")
+                                           and hasattr(s, "nu")):
+            # other namedtuple states (EmptyState etc.) pass through
+            return s
+        if isinstance(s, list):
+            return [replace(c) for c in s]
+        return s
+
+    return replace(opt_state)

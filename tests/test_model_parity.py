@@ -258,3 +258,103 @@ def test_discriminator_matches_reference_with_converted_weights(ref_model_module
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(proxy), t_proxy.numpy(),
                                rtol=1e-3, atol=1e-3)
+
+
+def _optim_roundtrip(ref_module, make_ours, template_sd, which, depth):
+    """Shared harness: torch Adam step on the reference module -> convert
+    moments to optax -> export back -> bitwise round-trip."""
+    import torch
+    import optax
+    from ieagan_tpu.models.convert import (torch_param_names,
+                                           convert_torch_adam,
+                                           export_adam_to_torch,
+                                           _find_adam_state)
+
+    # the index-order assumption the interop rests on, checked against the
+    # real reference module (reference: utils/__init__.py:689-726)
+    assert torch_param_names(ref_module.state_dict()) == \
+        [n for n, _ in ref_module.named_parameters()]
+
+    opt = torch.optim.Adam(ref_module.parameters(), lr=5e-5,
+                           betas=(0.0, 0.999), eps=1e-6)
+    g = torch.Generator().manual_seed(7)
+    for p in ref_module.parameters():
+        p.grad = torch.randn(p.shape, generator=g)
+    opt.step()
+    optim_sd = opt.state_dict()
+
+    params = make_ours()
+    tx = optax.adam(5e-5, b1=0.0, b2=0.999, eps=1e-6)
+    opt_state = tx.init(params)
+    new_state = convert_torch_adam(optim_sd, template_sd, params, opt_state,
+                                   which=which, depth=depth)
+    adam = _find_adam_state(new_state)
+    assert int(np.asarray(adam.count)) == 1
+    # moment trees must be exactly params-shaped
+    assert (jax.tree_util.tree_structure(adam.mu)
+            == jax.tree_util.tree_structure(params))
+    for m, p in zip(jax.tree_util.tree_leaves(adam.mu),
+                    jax.tree_util.tree_leaves(params)):
+        assert np.asarray(m).shape == np.asarray(p).shape
+    # with b1=0, exp_avg == grad: nonzero moments must have survived
+    total = sum(float(np.abs(np.asarray(l)).sum())
+                for l in jax.tree_util.tree_leaves(adam.mu))
+    assert total > 0
+
+    back = export_adam_to_torch(new_state, template_sd, which=which,
+                                depth=depth)
+    names = torch_param_names(template_sd)
+    for i, name in enumerate(names):
+        for field in ("exp_avg", "exp_avg_sq"):
+            theirs = optim_sd["state"][i][field].numpy()
+            ours = np.asarray(back["state"][i][field])
+            np.testing.assert_array_equal(
+                ours, theirs, err_msg=f"{name}.{field}")
+
+
+def test_generator_adam_moments_roundtrip(ref_model_module):
+    """Mid-training migration: reference Adam moments -> optax -> back,
+    bitwise (reference: utils/__init__.py:705 optim state_dict save)."""
+    import torch
+    torch.manual_seed(0)
+    ref_g = ref_model_module.Generator(
+        **dict(CFG, skip_init=False, no_optim=True, G_init="ortho",
+               device="cpu"))
+
+    from ieagan_tpu.models import Generator
+    G = Generator.from_config(dict(CFG, use_pallas_attention=False))
+
+    def make_ours():
+        variables = G.init(
+            {"params": jax.random.PRNGKey(0), "rdof": jax.random.PRNGKey(1)},
+            jnp.zeros((4, CFG["dim_z"])), jnp.arange(4), train=False)
+        return variables["params"]
+
+    _optim_roundtrip(ref_g, make_ours, ref_g.state_dict(), "G",
+                     CFG["G_depth"])
+
+
+def test_discriminator_adam_moments_roundtrip(ref_model_module):
+    import torch
+    dcfg = dict(
+        D_ch=32, D_depth=2, resolution=64, D_attn="32", n_classes=4,
+        D_activation="relu", conditional_strategy="Contra", SN_eps=1e-6,
+        hypersphere_dim=32, nonlinear_embed=False, normalize_embed=True,
+        RRM_prx_D=False, RRM_embed=True, n_head_D=4, D_param="SN",
+        D_wide=True,
+    )
+    torch.manual_seed(0)
+    ref_d = ref_model_module.Discriminator(
+        **dict(dcfg, skip_init=False, D_init="ortho", device="cpu"))
+
+    from ieagan_tpu.models import Discriminator
+    D = Discriminator.from_config(dict(dcfg, use_pallas_attention=False))
+
+    def make_ours():
+        variables = D.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((4, 64, 64, 1)), jnp.arange(4),
+                           train=False)
+        return variables["params"]
+
+    _optim_roundtrip(ref_d, make_ours, ref_d.state_dict(), "D",
+                     dcfg["D_depth"])
