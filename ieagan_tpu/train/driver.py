@@ -248,7 +248,23 @@ def run(config: dict):
             if trace_dir and itr == trace_start:
                 jax.profiler.start_trace(str(trace_dir))
                 tracing = True
-            state, metrics = train_step(state, x, y, k_step)
+            try:
+                state, metrics = train_step(state, x, y, k_step)
+            except Exception as e:  # noqa: BLE001 — match on message below
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # The flagship step's HBM temp (~15G of 15.75G) leaves no
+                # headroom for residue from the periodic FID eval's
+                # executables (observed: first post-eval step OOMs). Drop
+                # every cached executable (the persistent compile cache
+                # makes the reload cheap), settle, and retry once.
+                import gc
+                print("train step RESOURCE_EXHAUSTED; clearing device "
+                      "caches and retrying once")
+                gc.collect()
+                jax.clear_caches()
+                time.sleep(20)
+                state, metrics = train_step(state, x, y, k_step)
             if tracing and itr >= trace_start + trace_steps:
                 jax.block_until_ready(state.params_G)
                 jax.profiler.stop_trace()
@@ -374,6 +390,15 @@ def run_test(G, state, state_dict, config, metrics_log):
         if is_main:
             print(f"FID reference stats unavailable ({e}); skipping test")
         return
+    finally:
+        if bool(config.get("fid_free_device_cache", True)):
+            # Flagship HBM discipline: the eval's generator/Inception
+            # executables would otherwise stay resident and starve the
+            # ~15G-temp train step right after (observed OOM). The
+            # persistent compile cache makes reloads cheap.
+            import gc
+            gc.collect()
+            jax.clear_caches()
     if is_main:
         print(f"The FID score is {fid}")
     if config.get("which_best", "FID") == "FID" and fid < state_dict["best_FID"]:
