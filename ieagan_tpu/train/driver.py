@@ -238,7 +238,20 @@ def run(config: dict):
         for x, y in loader_factory():
             itr += 1
             state_dict["itr"] = itr
-            rng, k_step = jax.random.split(rng)
+            try:
+                rng, k_step = jax.random.split(rng)
+            except Exception as e:  # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # Even this tiny allocation can catch the heap full right
+                # after an eval: PJRT buffer frees travel the tunnel
+                # lazily. Settle and retry (same discipline as the step).
+                import gc
+                print("rng split RESOURCE_EXHAUSTED; settling 60s")
+                gc.collect()
+                jax.clear_caches()
+                time.sleep(60)
+                rng, k_step = jax.random.split(rng)
             if mesh is None:
                 x = jnp.asarray(x)
                 y = jnp.asarray(y)
