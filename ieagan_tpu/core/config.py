@@ -190,6 +190,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # Reference quirk §2.4.1: G.optim.step() was gated on clip_norm; we step
     # G unconditionally. Set True to reproduce the reference bug exactly.
     "replicate_G_step_bug": False,
+    # Reference quirk: G_D augments only the generator output — reals reach
+    # D raw (model.py:972-982), handing D a trivial fake tell (cutout holes
+    # / translation bands exist only on fakes) that saturates D on any
+    # dataset. True (default) applies DiffAugment to the real branch too,
+    # per the DiffAugment paper; False reproduces upstream.
+    "diff_aug_real": True,
     # Upload raw uint8 sensor images and run the pad/lognorm/noise transform
     # on device inside the jitted step (4x less host->device traffic; noise
     # comes from the jax RNG stream instead of the host numpy stream —

@@ -123,6 +123,14 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
     con_reg = bool(config["Con_reg"])
     cr_lambda = float(config["cr_lambda"])
     do_diff_aug = bool(config["diff_aug"])
+    # Quirk fix (default ON, like the G-step fix below): the reference
+    # augments ONLY the generator output in its G_D forward — real images
+    # reach D raw (reference: model.py:972-982). That hands D a trivial
+    # real/fake tell (cutout holes, translation zero-bands exist only on
+    # fakes) and D saturates on any dataset; DiffAugment's own semantics
+    # (Zhao et al. 2020) require T on both branches. diff_aug_real=False
+    # reproduces the upstream behavior.
+    diff_aug_real = bool(config.get("diff_aug_real", True))
     n_classes = int(config["n_classes"])
     dim_z = int(config["dim_z"])
     z_var = float(config.get("z_var", 1.0))
@@ -189,8 +197,11 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
                     fake = jax.lax.stop_gradient(fake)
                     if do_diff_aug:
                         fake_in = diff_augment(kaug, fake)
+                        x_in = (diff_augment(jax.random.fold_in(kaug, 7), x)
+                                if diff_aug_real else x)
                     else:
                         fake_in = fake
+                        x_in = x
                     if split_D:
                         # Separate fake/real D passes (reference:
                         # model.py:985-1010); SN u updates twice per step,
@@ -198,14 +209,14 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
                         (_, embed_f, score_f), d_ups = d_forward(
                             p_D, state_D, fake_in, y)
                         (proxy_r, embed_r, score_r), d_ups = d_forward(
-                            p_D, d_ups, x, y)
+                            p_D, d_ups, x_in, y)
                     else:
                         # Concat mode (reference: model.py:1023-1086): one D
                         # pass over [fake; real] — halves SN power-iteration
                         # work and better fills the batch dimension.
                         both, d_ups = d_forward(
                             p_D, state_D,
-                            jnp.concatenate([fake_in, x], axis=0),
+                            jnp.concatenate([fake_in, x_in], axis=0),
                             jnp.concatenate([y, y], axis=0))
                         proxy_all, embed_all, score_all = both
                         nb = fake_in.shape[0]

@@ -76,3 +76,32 @@ def test_ortho_reg_changes_grads():
     grads2 = jax.tree_util.tree_map(jnp.zeros_like, params2)
     out2 = apply_ortho_reg(grads2, params2, 1.0)
     assert float(jnp.abs(out2["a"]["kernel"]).max()) > 0
+
+
+def test_diff_aug_real_flag_is_live():
+    """diff_aug_real=True (quirk fix, default) must change the D phase —
+    reals are augmented — and with diff_aug=False the flag is inert
+    (reference: model.py:972-982 augments only G_z)."""
+    cfg = dict(tiny_config(), diff_aug=True)
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+    B = cfg["n_classes"] * cfg["events_per_batch"]
+    x = jax.random.uniform(
+        jax.random.PRNGKey(5),
+        (B, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1),
+        minval=-1, maxval=1)
+    y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+
+    def d_real(flag_cfg):
+        step = jax.jit(make_train_step(G, D, flag_cfg))
+        _, mets = step(state, x, y, jax.random.PRNGKey(7))
+        return float(mets["D_loss_real"])
+
+    fixed = d_real(dict(cfg, diff_aug_real=True))
+    faithful = d_real(dict(cfg, diff_aug_real=False))
+    assert fixed != faithful  # real branch actually augmented
+
+    off_fixed = d_real(dict(cfg, diff_aug=False, diff_aug_real=True))
+    off_faithful = d_real(dict(cfg, diff_aug=False, diff_aug_real=False))
+    assert off_fixed == off_faithful  # inert without diff_aug
