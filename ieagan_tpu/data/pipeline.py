@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -107,8 +108,20 @@ class EventLoader:
                             # overlaps the upload with the previous step's
                             # compute; multi-process: assembles the global
                             # array from this process's shard
-                            imgs, labels = host_local_batch(
-                                self.sharding, imgs, labels)
+                            for attempt in range(4):
+                                try:
+                                    imgs, labels = host_local_batch(
+                                        self.sharding, imgs, labels)
+                                    break
+                                except Exception as e:  # noqa: BLE001
+                                    # transient post-eval HBM pressure:
+                                    # PJRT frees land lazily over the
+                                    # tunnel; a dead producer kills the
+                                    # whole run, so back off and retry
+                                    if ("RESOURCE_EXHAUSTED" not in str(e)
+                                            or attempt == 3):
+                                        raise
+                                    time.sleep(20.0 * (attempt + 1))
                         q.put((imgs, labels))
             finally:
                 q.put(None)

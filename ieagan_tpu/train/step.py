@@ -107,12 +107,20 @@ def make_optimizers(config, steps_per_epoch: int = 0):
     return g_tx, d_tx
 
 
-def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
+def make_train_step(G, D, config, steps_per_epoch: int = 0, *,
+                    z_schedule=None, capture_grads: bool = False) -> Callable:
     """Build the jittable train step: (state, x, y, rng) -> (state, metrics).
 
     x: (B, H, W, 1) real images in [-1, 1]; y: (B,) int labels; B is
     events_per_batch * event_size. Not jitted here — callers wrap with
     jax.jit / pjit with the desired shardings.
+
+    Test seams (used by the reference gradient-parity oracle,
+    tests/test_model_parity.py): ``z_schedule`` replaces the per-phase
+    latent draws with the given arrays, consumed in call order (D-phase
+    accumulations first, then G-phase); ``capture_grads`` adds the
+    post-ortho accumulated gradient trees to the metrics under
+    ``_grads_D`` / ``_grads_G``.
     """
     g_tx, d_tx = make_optimizers(config, steps_per_epoch)
     contra_lambda = float(config["contra_lambda"])
@@ -156,7 +164,11 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
     temperature = 1.0  # reference: train_fns.py:46-47
     margin = 0.0
 
+    _z_iter = iter(z_schedule) if z_schedule is not None else None
+
     def sample_z(key, batch):
+        if _z_iter is not None:
+            return jnp.asarray(next(_z_iter), jnp.float32)
         return jax.random.normal(key, (batch, dim_z), jnp.float32) * (z_var ** 0.5)
 
     def g_forward(params_G, state_G, z, y, rdof_key):
@@ -260,6 +272,8 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
                 grads_acc = grads if grads_acc is None else jax.tree_util.tree_map(
                     jnp.add, grads_acc, grads)
             grads_acc = apply_ortho_reg(grads_acc, params_D, d_ortho)
+            if capture_grads:
+                metrics["_grads_D"] = grads_acc
             updates, opt_D = d_tx.update(grads_acc, opt_D, params_D)
             params_D = optax.apply_updates(params_D, updates)
             metrics.update(aux_out)
@@ -305,6 +319,8 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
                 jnp.add, grads_acc, grads)
         grads_acc = apply_ortho_reg(grads_acc, params_G, g_ortho,
                                     blacklist=shared_blacklist)
+        if capture_grads:
+            metrics["_grads_G"] = grads_acc
         if not (replicate_g_bug and clip_norm is None):
             updates, opt_G = g_tx.update(grads_acc, state.opt_G, params_G)
             params_G = optax.apply_updates(params_G, updates)
@@ -330,7 +346,8 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0) -> Callable:
             params_G=params_G, params_D=params_D, state_G=state_G,
             state_D=state_D, opt_G=opt_G_new, opt_D=opt_D,
             params_G_ema=params_G_ema, state_G_ema=state_G_ema, itr=itr)
-        metrics = {k: jnp.asarray(v, jnp.float32) for k, v in metrics.items()}
+        metrics = {k: v if k.startswith("_") else jnp.asarray(v, jnp.float32)
+                   for k, v in metrics.items()}
         return new_state, metrics
 
     return train_step
