@@ -10,6 +10,7 @@ prefetch, mesh sharding when configured.
 from __future__ import annotations
 
 import functools
+import json
 import pathlib
 import time
 
@@ -397,21 +398,29 @@ def run_test(G, state, state_dict, config, metrics_log):
         print("FID engine unavailable; skipping test")
         return
     is_main = jax.process_index() == 0
-    try:
-        fid = compute_fid_from_state(G, state, config)
-    except FileNotFoundError as e:
-        if is_main:
-            print(f"FID reference stats unavailable ({e}); skipping test")
-        return
-    finally:
-        if bool(config.get("fid_free_device_cache", True)):
-            # Flagship HBM discipline: the eval's generator/Inception
-            # executables would otherwise stay resident and starve the
-            # ~15G-temp train step right after (observed OOM). The
-            # persistent compile cache makes reloads cheap.
-            import gc
-            gc.collect()
-            jax.clear_caches()
+    if bool(config.get("fid_subprocess", True)) and jax.process_count() == 1:
+        # Flagship HBM discipline: in-process evals leave residue the
+        # ~15G-temp train step cannot absorb (observed OOM at every
+        # itr N*test_every+1 despite cache clearing — PJRT frees land
+        # lazily over the tunneled chip). A fresh client that exits
+        # cleanly is the one mechanism proven to return the memory
+        # (bench.py phase isolation). Requires the checkpoint just saved
+        # by save_and_sample (save_every | test_every).
+        fid = _run_fid_subprocess(state, state_dict, config)
+        if fid is None:
+            return
+    else:
+        try:
+            fid = compute_fid_from_state(G, state, config)
+        except FileNotFoundError as e:
+            if is_main:
+                print(f"FID reference stats unavailable ({e}); skipping test")
+            return
+        finally:
+            if bool(config.get("fid_free_device_cache", True)):
+                import gc
+                gc.collect()
+                jax.clear_caches()
     if is_main:
         print(f"The FID score is {fid}")
     if config.get("which_best", "FID") == "FID" and fid < state_dict["best_FID"]:
@@ -428,3 +437,46 @@ def run_test(G, state, state_dict, config, metrics_log):
     state_dict["best_FID"] = min(state_dict["best_FID"], fid)
     if is_main:
         metrics_log.log(itr=int(state_dict["itr"]), FID=float(fid))
+
+
+def _run_fid_subprocess(state, state_dict, config):
+    """Run scripts/fid_eval_once.py on the latest saved checkpoint; returns
+    the FID, or None when the eval failed or no checkpoint exists yet."""
+    import os
+    import subprocess
+    import sys
+
+    runpath = (pathlib.Path(config["outputroot"]) / config["run_name"])
+    itr = int(state_dict.get("itr", int(state.itr)))
+    tag = f"copy{itr}"
+    if not (runpath / "weights" / f"G_ema_{tag}.msgpack").exists():
+        from ieagan_tpu.utils.checkpoint import latest_checkpoint
+        tag = latest_checkpoint(runpath / "weights")
+        if tag is None:
+            print("FID subprocess: no checkpoint to evaluate; skipping")
+            return None
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "..", "scripts", "fid_eval_once.py")
+    script = os.path.abspath(script)
+    env = dict(os.environ)
+    try:
+        out = subprocess.run(
+            [sys.executable, script, "--run-dir", str(runpath),
+             "--tag", tag],
+            env=env, capture_output=True, text=True,
+            timeout=float(config.get("fid_subprocess_timeout", 1800)))
+    except subprocess.TimeoutExpired:
+        print("FID subprocess timed out; skipping test")
+        return None
+    if out.returncode != 0:
+        print(f"FID subprocess failed rc={out.returncode}: "
+              f"{out.stderr[-800:]}")
+        return None
+    try:
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        print(f"FID subprocess output unparsable: {out.stdout[-400:]}")
+        return None
+    print(f"FID eval ({res['tag']}): nonzero_frac="
+          f"{res.get('nonzero_frac', -1):.5f}")
+    return float(res["fid"])

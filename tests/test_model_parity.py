@@ -358,3 +358,151 @@ def test_discriminator_adam_moments_roundtrip(ref_model_module):
 
     _optim_roundtrip(ref_d, make_ours, ref_d.state_dict(), "D",
                      dcfg["D_depth"])
+
+
+@pytest.mark.slow
+def test_train_step_gradients_match_reference(ref_model_module):
+    """THE dynamics-parity oracle: one full training iteration (D phase +
+    G phase, Contra strategy, IEA + uniformity losses) through the actual
+    reference train_fns.GAN_training_function and through our fused step,
+    same weights, same latents, same batch — D and G gradients must match
+    leaf-for-leaf (reference: train_fns.py:20-206). diff_aug=False (the
+    two frameworks cannot share augmentation draws), ortho/clip off, lr=0
+    on the reference side so .grad survives the optimizer calls."""
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import ref_stubs
+    ref_stubs.install()
+    sys.path.insert(0, REFERENCE)
+    try:
+        import train_fns as ref_train_fns
+        import utils as ref_utils
+    finally:
+        sys.path.remove(REFERENCE)
+
+    config = dict(
+        # model geometry (shared by both sides)
+        G_ch=8, D_ch=32, G_depth=2, D_depth=2, dim_z=16, bottom_width=4,
+        resolution=64, H_base=1, n_classes=4, G_attn="0", D_attn="32",
+        G_shared=True, shared_dim=16, hier=True, G_activation="relu",
+        D_activation="relu", BN_eps=1e-5, SN_eps=1e-6, RRM_prx_G=False,
+        RRM_prx_D=False, RRM_embed=True, rdof_dim=0, n_head_G=2, n_head_D=4,
+        G_param="SN", D_param="SN", norm_style="bn", D_wide=True,
+        conditional_strategy="Contra", hypersphere_dim=32,
+        nonlinear_embed=False, normalize_embed=True,
+        # training regime (reference config.json values, stochastic parts off)
+        batch_size=4, num_D_steps=1, num_D_accumulations=1,
+        num_G_accumulations=1, toggle_grads=True, split_D=True,
+        diff_aug=False, Con_reg=False, cr_lambda=10, contra_lambda=1.0,
+        IEA_loss=True, IEA_lambda=1.0, Uniformity_loss=True, unif_lambda=0.1,
+        pos_collected_numerator=False, G_ortho=0.0, D_ortho=0.0,
+        clip_norm=None, ema=False, G_lr=0.0, D_lr=0.0, G_B1=0.0, G_B2=0.999,
+        D_B1=0.0, D_B2=0.999, adam_eps=1e-6, G_fp16=False, D_fp16=False,
+        G_mixed_precision=False, D_mixed_precision=False, sv_log_interval=-1,
+        z_var=1.0, G_init="ortho", D_init="ortho", skip_init=False,
+        no_optim=False, device="cpu", prior_embed=False,
+    )
+
+    torch.manual_seed(0)
+    ref_g = ref_model_module.Generator(**config)
+    ref_d = ref_model_module.Discriminator(**config)
+    gd = ref_model_module.G_D(ref_g, ref_d)
+    ref_g.train()
+    ref_d.train()
+
+    # deterministic inputs; pre-draw the two z samples the train fn takes
+    z_, y_ = ref_utils.prepare_z_y(4, config["dim_z"], config["n_classes"],
+                                   device="cpu", z_var=1.0)
+    torch.manual_seed(123)
+    z_.sample_()
+    z1 = z_.detach().numpy().copy()
+    z_.sample_()
+    z2 = z_.detach().numpy().copy()
+    x_np = np.random.RandomState(3).uniform(
+        -1, 1, (4, 64, 64, 1)).astype(np.float32)
+    y_np = np.arange(4)
+
+    train = ref_train_fns.GAN_training_function(
+        ref_g, ref_d, gd, z_, y_, None, {"itr": 0}, config, "cpu")
+    torch.manual_seed(123)  # replays z1, z2 inside train()
+    ref_metrics = train(torch.from_numpy(x_np.transpose(0, 3, 1, 2)),
+                        torch.from_numpy(y_np))
+    ref_g_grads = {n: p.grad.detach().numpy().copy()
+                   for n, p in ref_g.named_parameters() if p.grad is not None}
+    ref_d_grads = {n: p.grad.detach().numpy().copy()
+                   for n, p in ref_d.named_parameters() if p.grad is not None}
+
+    # ---- our side: same weights, same z draws, capture gradients
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state, make_train_step
+    from ieagan_tpu.models.convert import (
+        convert_torch_generator, convert_torch_discriminator,
+        load_into_variables, export_generator_to_torch,
+        export_discriminator_to_torch, torch_param_names)
+
+    ours_cfg = dict(config, use_pallas_attention=False, events_per_batch=1,
+                    ema=True, ema_decay=0.9999, ema_start=10 ** 9,
+                    use_ema=False)
+    G = Generator.from_config(ours_cfg)
+    D = Discriminator.from_config(ours_cfg)
+    state = init_train_state(G, D, ours_cfg, jax.random.PRNGKey(0))
+
+    gv = load_into_variables({"params": state.params_G, **state.state_G},
+                             convert_torch_generator(ref_g.state_dict(), 2))
+    dv = load_into_variables({"params": state.params_D, **state.state_D},
+                             convert_torch_discriminator(ref_d.state_dict(), 2))
+    state = state.replace(
+        params_G=gv["params"],
+        state_G={k: v for k, v in gv.items() if k != "params"},
+        params_D=dv["params"],
+        state_D={k: v for k, v in dv.items() if k != "params"})
+
+    step = make_train_step(G, D, ours_cfg, z_schedule=[z1, z2],
+                           capture_grads=True)
+    _, metrics = step(state, jnp.asarray(x_np), jnp.asarray(y_np),
+                      jax.random.PRNGKey(9))
+
+    # loss-value parity first (cheap to diagnose)
+    for ref_key, our_key in [("D_loss_real", "D_loss_real"),
+                             ("D_loss_fake", "D_loss_fake"),
+                             ("G_loss", "G_loss"),
+                             ("iea_loss", "iea_loss"),
+                             ("unif_loss_d", "unif_loss_d")]:
+        np.testing.assert_allclose(
+            float(metrics[our_key]), float(ref_metrics[ref_key]),
+            rtol=2e-3, atol=2e-5, err_msg=ref_key)
+
+    # gradient parity, leaf-for-leaf through the torch-layout exporters
+    ours_g = export_generator_to_torch(
+        {"params": jax.tree_util.tree_map(np.asarray, metrics["_grads_G"])},
+        {k: np.zeros_like(v.detach().numpy())
+         for k, v in ref_g.state_dict().items()
+         if k in torch_param_names(ref_g.state_dict())}, 2)
+    ours_d = export_discriminator_to_torch(
+        {"params": jax.tree_util.tree_map(np.asarray, metrics["_grads_D"])},
+        {k: np.zeros_like(v.detach().numpy())
+         for k, v in ref_d.state_dict().items()
+         if k in torch_param_names(ref_d.state_dict())}, 2)
+    # Per-leaf relative L2 (the standard gradient-check metric): leaves at
+    # the top of the backprop chain (shared.weight, linear.weight) sum
+    # thousands of f32 contributions in different-but-equivalent orders on
+    # the two frameworks, so elementwise rtol on near-zero entries is the
+    # wrong lens — in-norm agreement is the claim that matters.
+    checked = 0
+    for tag, ref_grads, ours_all in (("D", ref_d_grads, ours_d),
+                                     ("G", ref_g_grads, ours_g)):
+        for name, theirs in ref_grads.items():
+            ours = np.asarray(ours_all[name], np.float64)
+            theirs = np.asarray(theirs, np.float64)
+            denom = max(np.linalg.norm(theirs), 1e-12)
+            rel_l2 = np.linalg.norm(ours - theirs) / denom
+            assert rel_l2 < 2e-3, \
+                f"{tag} grad {name}: relative L2 {rel_l2:.2e}"
+            scale = max(np.abs(theirs).max(), 1e-8)
+            np.testing.assert_allclose(
+                ours, theirs, rtol=1e-2, atol=1e-2 * scale,
+                err_msg=f"{tag} grad {name} (elementwise)")
+            checked += 1
+    assert checked > 100  # both stacks' full depth was compared
