@@ -25,6 +25,7 @@ while true; do
   PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}" \
     python "$REPO/train.py" "$@" "${RESUME[@]}" >> "$LOG" 2>&1 &
   PID=$!
+  LAUNCH_TS=$(date +%s)
   echo "$PID" > "$LOG.pid"
   while kill -0 "$PID" 2>/dev/null; do
     sleep 30
@@ -32,8 +33,13 @@ while true; do
       echo "[watchdog] stop requested; killing $PID"; kill "$PID"; exit 0
     fi
     now=$(date +%s); mod=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
-    if [ $((now - mod)) -gt "$STALE" ]; then
-      echo "[watchdog] log stale $((now - mod))s; killing $PID $(date +%H:%M:%S)" >> "$LOG"
+    # double grace while this attempt is still initializing (resume +
+    # remote compile is silent for ~8 min and longer under host-CPU
+    # contention — killing a healthy init loops forever)
+    THRESH="$STALE"
+    if [ "$mod" -le "$LAUNCH_TS" ]; then THRESH=$((STALE * 2)); fi
+    if [ $((now - mod)) -gt "$THRESH" ]; then
+      echo "[watchdog] log stale $((now - mod))s (thresh $THRESH); killing $PID $(date +%H:%M:%S)" >> "$LOG"
       kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
       break
     fi
