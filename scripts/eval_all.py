@@ -50,7 +50,15 @@ def main():
     ap.add_argument("--dataroot", default=None)
     ap.add_argument("--n-events", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (e.g. when the tunneled "
+                         "chip is down); flagship generate is ~2-3 "
+                         "min/event there — budget n-events accordingly")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from ieagan_tpu.eval import physics
 
