@@ -302,6 +302,23 @@ def main():
         print(json.dumps(result))
         return
 
+    # Fast preflight: a dead relay makes even jax.devices() hang forever
+    # (observed when the tunnel process died mid-session) — probing in a
+    # throwaway subprocess turns a ~3h slow-fail into a 3-min fast-fail.
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; assert jax.devices()"],
+            timeout=180, capture_output=True)
+        chip_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        chip_ok = False
+    if not chip_ok:
+        print(json.dumps({"metric": "generate_events_per_sec", "value": None,
+                          "unit": "events/s", "vs_baseline": None,
+                          "extra": {"error": "chip unreachable (preflight "
+                                    "jax.devices() probe failed/hung)"}}))
+        return
+
     result = _run_phase("generate")
     if result is None:  # headline number must exist even if the chip is sick
         log("generate phase failed; retrying once after 90s")
