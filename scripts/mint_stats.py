@@ -27,12 +27,16 @@ def main():
     ap.add_argument("--mode", default="clean")
     ap.add_argument("--no-kid", action="store_true")
     ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (chip-down operation)")
     ap.add_argument("--host-resize", action="store_true",
                     help="strict PIL host resize (slow on a 1-core host); "
                          "default is the validated on-device resize")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
