@@ -190,6 +190,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # Reference quirk §2.4.1: G.optim.step() was gated on clip_norm; we step
     # G unconditionally. Set True to reproduce the reference bug exactly.
     "replicate_G_step_bug": False,
+    # In-training FID evals run in a fresh subprocess on the just-saved
+    # checkpoint (scripts/fid_eval_once.py): the flagship step's ~15G HBM
+    # temp cannot absorb in-process eval residue on the tunneled chip, and
+    # a clean client exit is the only proven reclaim. False = in-process
+    # (CPU runs, tests, multi-process drivers).
+    "fid_subprocess": True,
     # Reference quirk: G_D augments only the generator output — reals reach
     # D raw (model.py:972-982), handing D a trivial fake tell (cutout holes
     # / translation bands exist only on fakes) that saturates D on any
