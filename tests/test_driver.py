@@ -164,3 +164,21 @@ def test_cli_merge_precedence(tmp_path):
     assert config["seed"] == 222          # CLI beats JSON (111)
     assert config["D_ch"] == 32           # default survives
     assert config["run_name"] == "r"
+
+
+def test_cli_underscore_and_dash_flags(tmp_path):
+    """Reference flags are underscore-style (reference: train.py:279
+    "--num_workers"); both spellings must parse to the same key."""
+    import importlib.util, os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "train_cli2", os.path.join(repo, "train.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for flag in ("--num_epochs", "--num-epochs"):
+        args = vars(mod.build_parser().parse_args([flag, "7"]))
+        assert args["num_epochs"] == 7
+    args = vars(mod.build_parser().parse_args(
+        ["--device_transform", "true", "--fid-dataset-name", "synv2"]))
+    assert args["device_transform"] is True
+    assert args["fid_dataset_name"] == "synv2"

@@ -53,14 +53,18 @@ def build_parser() -> argparse.ArgumentParser:
     for key, val in DEFAULT_CONFIG.items():
         if key == "run_name":
             continue
-        flag = "--" + key.replace("_", "-")
+        # Register both spellings: the reference's flags are underscore-style
+        # (reference: train.py:279 "--num_workers"), dashes kept as aliases.
+        flags = ["--" + key]
+        if "_" in key:
+            flags.append("--" + key.replace("_", "-"))
         kwargs = dict(dest=key, default=argparse.SUPPRESS)
         if val is None:
             kwargs["type"] = str
         else:
             kwargs["type"] = _flag_type(val)
         try:
-            parser.add_argument(flag, **kwargs)
+            parser.add_argument(*flags, **kwargs)
         except argparse.ArgumentError:
             pass
     return parser
