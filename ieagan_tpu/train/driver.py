@@ -459,23 +459,36 @@ def _run_fid_subprocess(state, state_dict, config):
         os.path.abspath(__file__))), "..", "scripts", "fid_eval_once.py")
     script = os.path.abspath(script)
     env = dict(os.environ)
-    try:
-        out = subprocess.run(
-            [sys.executable, script, "--run-dir", str(runpath),
-             "--tag", tag],
-            env=env, capture_output=True, text=True,
-            timeout=float(config.get("fid_subprocess_timeout", 1800)))
-    except subprocess.TimeoutExpired:
-        print("FID subprocess timed out; skipping test")
+    timeout = float(config.get("fid_subprocess_timeout", 1800))
+    # Popen + polled communicate, NOT subprocess.run: the eval's compile is
+    # many silent minutes, and an external staleness watchdog (e.g.
+    # scripts/campaign_watchdog.sh) watching this process's log would kill a
+    # healthy run — heartbeat the log while the eval is alive.
+    proc = subprocess.Popen(
+        [sys.executable, script, "--run-dir", str(runpath), "--tag", tag],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    t0 = time.time()
+    while True:
+        try:
+            stdout, stderr = proc.communicate(timeout=60.0)
+            break
+        except subprocess.TimeoutExpired:
+            if time.time() - t0 > timeout:
+                proc.kill()
+                stdout, stderr = proc.communicate()
+                print("FID subprocess timed out; skipping test", flush=True)
+                return None
+            print(f"FID subprocess running ({time.time() - t0:.0f}s)...",
+                  flush=True)
+    if proc.returncode != 0:
+        print(f"FID subprocess failed rc={proc.returncode}: "
+              f"{stderr[-800:]}", flush=True)
         return None
-    if out.returncode != 0:
-        print(f"FID subprocess failed rc={out.returncode}: "
-              f"{out.stderr[-800:]}")
-        return None
     try:
-        res = json.loads(out.stdout.strip().splitlines()[-1])
+        res = json.loads(stdout.strip().splitlines()[-1])
     except (ValueError, IndexError):
-        print(f"FID subprocess output unparsable: {out.stdout[-400:]}")
+        print(f"FID subprocess output unparsable: {stdout[-400:]}",
+              flush=True)
         return None
     print(f"FID eval ({res['tag']}): nonzero_frac="
           f"{res.get('nonzero_frac', -1):.5f}")
