@@ -185,7 +185,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "samples_per_class_sheet": 4,
     # Rematerialize G/D blocks in the backward pass (jax.checkpoint):
     # ~30% more FLOPs for O(depth) activation memory — enables larger
-    # events_per_batch per chip.
+    # events_per_batch per chip. True remats every block; "wide" remats
+    # only the highest-resolution stages (last two of G, first two of D),
+    # where activation bytes concentrate, at a fraction of full remat's
+    # recompute.
     "remat": False,
     # Reference quirk §2.4.1: G.optim.step() was gated on clip_norm; we step
     # G unconditionally. Set True to reproduce the reference bug exactly.

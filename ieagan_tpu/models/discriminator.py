@@ -110,7 +110,9 @@ class Discriminator(nn.Module):
     rrm_full_batch_sequence: bool = False
     dtype: Any = jnp.float32
     use_pallas: bool = False
-    remat: bool = False
+    # False / True / "wide" — "wide" remats only the first two (input-
+    # resolution) stages, D's analog of the generator's policy.
+    remat: Any = False
 
     @classmethod
     def from_config(cls, config: dict, dtype=None) -> "Discriminator":
@@ -122,7 +124,8 @@ class Discriminator(nn.Module):
         if dtype is not None:
             kwargs["dtype"] = dtype
         kwargs["use_pallas"] = bool(config.get("use_pallas_attention", False))
-        kwargs["remat"] = bool(config.get("remat", False))
+        r = config.get("remat", False)
+        kwargs["remat"] = r if isinstance(r, str) else bool(r)
         return cls(**kwargs)
 
     @nn.compact
@@ -142,9 +145,12 @@ class Discriminator(nn.Module):
         h = which_conv(arch["in_channels"][0], kernel_size=(3, 3),
                        name="input_conv")(x.astype(self.dtype),
                                           update_stats=update_stats)
-        block_cls = (nn.remat(DBlock, static_argnums=(2,))
-                     if self.remat else DBlock)
+        remat_cls = nn.remat(DBlock, static_argnums=(2,))
         for index in range(len(arch["out_channels"])):
+            if self.remat == "wide":
+                block_cls = remat_cls if index < 2 else DBlock
+            else:
+                block_cls = remat_cls if self.remat else DBlock
             for d_index in range(self.D_depth):
                 h = block_cls(
                     in_channels=(arch["in_channels"][index] if d_index == 0

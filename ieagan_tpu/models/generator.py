@@ -113,7 +113,10 @@ class Generator(nn.Module):
     event_size: int = 40
     dtype: Any = jnp.float32
     use_pallas: bool = False
-    remat: bool = False
+    # False: no remat; True: remat every block; "wide": remat only the two
+    # highest-resolution stages (where activation memory concentrates) and
+    # keep the cheap narrow stages' activations resident.
+    remat: Any = False
 
     @classmethod
     def from_config(cls, config: dict, dtype=None) -> "Generator":
@@ -123,7 +126,8 @@ class Generator(nn.Module):
         if dtype is not None:
             kwargs["dtype"] = dtype
         kwargs["use_pallas"] = bool(config.get("use_pallas_attention", False))
-        kwargs["remat"] = bool(config.get("remat", False))
+        r = config.get("remat", False)
+        kwargs["remat"] = r if isinstance(r, str) else bool(r)
         return cls(**kwargs)
 
     @nn.compact
@@ -207,11 +211,19 @@ class Generator(nn.Module):
 
         # remat: recompute block activations in the backward pass — trades
         # ~30% FLOPs for O(depth) activation memory, the jax.checkpoint
-        # pattern for training more events per chip.
-        block_cls = (nn.remat(GBlock, static_argnums=(3, 4, 5))
-                     if self.remat else GBlock)
+        # pattern for training more events per chip. "wide" remats only the
+        # last two (highest-resolution) stages: with channels halving per
+        # upsample, H*W*C doubles per stage, so those two stages hold most
+        # of the resident activation bytes while costing the least recompute
+        # relative to savings.
+        remat_cls = nn.remat(GBlock, static_argnums=(3, 4, 5))
+        n_stages = len(arch["out_channels"])
         blk_args = (train, update_stats, accumulate_standing)
-        for index in range(len(arch["out_channels"])):
+        for index in range(n_stages):
+            if self.remat == "wide":
+                block_cls = remat_cls if index >= n_stages - 2 else GBlock
+            else:
+                block_cls = remat_cls if self.remat else GBlock
             for g_index in range(self.G_depth):
                 h = block_cls(
                     in_channels=arch["in_channels"][index],

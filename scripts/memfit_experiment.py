@@ -35,6 +35,8 @@ VARIANTS = {
     "epb2": dict(events_per_batch=2, remat=False),
     "epb2r": dict(events_per_batch=2, remat=True),
     "epb3r": dict(events_per_batch=3, remat=True),
+    "epb2w": dict(events_per_batch=2, remat="wide"),
+    "epb3w": dict(events_per_batch=3, remat="wide"),
     "epb3rc": dict(events_per_batch=3, remat=True, split_D=False),
     "epb2c": dict(events_per_batch=2, remat=False, split_D=False),
 }

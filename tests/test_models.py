@@ -170,3 +170,57 @@ def test_contragan_ablation_no_rrm():
     assert "RR_G" not in gv["params"] and "linear_f" not in gv["params"]
     imgs = G.apply(gv, z, y, train=False, rngs={"rdof": jax.random.PRNGKey(3)})
     assert imgs.shape[0] == B
+
+
+def test_remat_modes_share_math_and_params():
+    """remat (False / True / "wide") is a scheduling choice, not a math
+    change: with shared params every mode must produce identical outputs
+    and identical loss gradients, and the param tree must be mode-agnostic
+    (checkpoints trained with one mode load under another)."""
+    cfg0 = tiny_config()  # resolution 32: 3 G stages, so "wide" (last 2) is a strict subset
+    B = cfg0["n_classes"] * cfg0["events_per_batch"]
+    z = jax.random.normal(jax.random.PRNGKey(0), (B, cfg0["dim_z"]))
+    y = jnp.tile(jnp.arange(cfg0["n_classes"]), cfg0["events_per_batch"])
+    x = jax.random.uniform(jax.random.PRNGKey(1),
+                           (B, cfg0["resolution"],
+                            cfg0["resolution"] * cfg0["H_base"], 1),
+                           minval=-1.0, maxval=1.0)
+
+    outs, grads, treedefs = [], [], []
+    base_vars = None
+    for mode in (False, True, "wide"):
+        cfg = dict(cfg0, remat=mode)
+        G = Generator.from_config(cfg)
+        D = Discriminator.from_config(cfg)
+        if base_vars is None:
+            base_vars = (
+                G.init({"params": jax.random.PRNGKey(2),
+                        "rdof": jax.random.PRNGKey(3)}, z, y, train=False),
+                D.init({"params": jax.random.PRNGKey(4)}, x, y, train=False),
+            )
+        gv, dv = base_vars
+
+        def loss_fn(gp, dp):
+            # eval mode: BN running-stat writes gate on `train`, and remat
+            # equivalence is about the backward schedule, not stat updates
+            imgs = G.apply({**gv, "params": gp}, z, y, train=False,
+                           rngs={"rdof": jax.random.PRNGKey(5)},
+                           mutable=False)
+            _, emb, out = D.apply({**dv, "params": dp}, imgs, y, train=False,
+                                  mutable=False)
+            return jnp.mean(out) + jnp.sum(emb ** 2)
+
+        val, (g_gp, g_dp) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            gv["params"], dv["params"])
+        outs.append(float(val))
+        flat, tdef = jax.tree_util.tree_flatten((g_gp, g_dp))
+        grads.append(flat)
+        treedefs.append(tdef)
+
+    assert treedefs[0] == treedefs[1] == treedefs[2]
+    assert outs[0] == pytest.approx(outs[1], rel=1e-6)
+    assert outs[0] == pytest.approx(outs[2], rel=1e-6)
+    for a, b in zip(grads[0], grads[1]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    for a, b in zip(grads[0], grads[2]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
