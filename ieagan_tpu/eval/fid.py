@@ -138,10 +138,14 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
 def _frechet_device(mu1, sigma1, mu2, sigma2):
     """Fréchet distance fully on device: for PSD covariances,
     tr sqrtm(S1 S2) == sum sqrt eig(S1^1/2 S2 S1^1/2) with S1^1/2 from a
-    symmetric eigendecomposition — no 16MB sigma ever crosses the tunnel
-    (one scalar does). Numerically equivalent to the scipy-sqrtm host path
-    for the PSD inputs FID produces; the strict-parity scripts keep the
-    host path."""
+    symmetric eigendecomposition — no sigma crosses the tunnel.
+
+    WARNING — f32-only on TPU, and at 2048 dims the eigh's absolute
+    eigenvalue error scales with ||S1||·||S2||: tr_sqrt can be off by
+    O(1e3), which swamps (and can negate) small FIDs. Fine for small
+    feature dims (test-pinned at d=96); the in-training hook therefore
+    downloads the device moments and finishes on host in f64
+    (compute_fid), keeping this only for compact-feature use."""
     diff = mu1 - mu2
     w1, v1 = jnp.linalg.eigh(sigma1)
     root1 = (v1 * jnp.sqrt(jnp.clip(w1, 0.0, None))) @ v1.T
@@ -203,12 +207,13 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
     inside (reference: fid.py:673-687). N may exceed batch_size (chunked
     generators amortize device dispatches — see make_generator_fn).
 
-    return_moments=True returns (mu, sigma, n) with the moment accumulation
-    done fully on device: features are centered by a first-batch pilot mean
-    and X^T X runs at precision='highest', which keeps the f32 one-pass
-    sigma within f64-np.cov round-off (test-pinned at 2048 dims). This is
-    the transfer-light mode for the in-training FID hook on a
-    network-attached chip — nothing bulky ever crosses the tunnel.
+    return_moments=True returns (mu, sigma, n): features are centered by a
+    first-batch pilot mean and X^T X accumulates on device at
+    precision='highest'; the final mu/sigma are assembled in f64 on host
+    from the downloaded accumulators (within f64-np.cov round-off,
+    test-pinned at 2048 dims). This is the transfer-light mode for the
+    in-training FID hook on a network-attached chip — 16MB of accumulator
+    crosses the tunnel once per eval instead of num_gen×2048 features.
     """
     del batch_size  # sizing comes from gen_fn's output
     interp, scale = _mode_options(mode)
@@ -246,11 +251,16 @@ def get_model_features(gen_fn, extractor: FeatureExtractor, *, num_gen: int,
             feats.append(f)
             total += f.shape[0]
     if return_moments:
-        mu, sigma = jax.jit(
-            lambda s, o, p, n: (p + s / n,
-                                (o - n * jnp.outer(s / n, s / n)) / (n - 1.0))
-        )(acc_s, acc_o, pilot, float(total))
-        return mu, sigma, total  # device arrays: callers np.asarray if needed
+        # download the two accumulators (16MB once per eval) and assemble
+        # mu/sigma on host in f64 — matches the pinning test bit-for-bit
+        # (tests/test_eval.py::test_device_moments_match_host_cov_2048d)
+        s = np.asarray(acc_s, np.float64)
+        o = np.asarray(acc_o, np.float64)
+        p = np.asarray(pilot, np.float64)
+        n = float(total)
+        mu = p + s / n
+        sigma = (o - n * np.outer(s / n, s / n)) / (n - 1.0)
+        return mu, sigma, total
     return np.concatenate(feats)[:num_gen]
 
 
@@ -379,25 +389,6 @@ def compute_kid(gen_fn=None, fdir1=None, fdir2=None, *,
     return kernel_distance(feats, ref_feats, seed=seed)
 
 
-_DEVICE_REF_STATS: dict = {}
-
-
-def _device_ref_stats(dataset_name, mode, mu, sigma):
-    """Reference stats uploaded once per stats FILE (path + mtime) and
-    cached on device — the periodic FID hook re-uses them every test, and
-    stats re-minted in-process (make_custom_stats overwrite=True) miss the
-    cache via the mtime and re-upload."""
-    path = _stats_path(dataset_name, mode)
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = None
-    key = (path, mtime)
-    if key not in _DEVICE_REF_STATS:
-        _DEVICE_REF_STATS.clear()  # at most one live entry per process
-        _DEVICE_REF_STATS[key] = (jnp.asarray(mu, jnp.float32),
-                                  jnp.asarray(sigma, jnp.float32))
-    return _DEVICE_REF_STATS[key]
 
 
 def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
@@ -429,8 +420,16 @@ def compute_fid(gen_fn=None, fdir1=None, fdir2=None, *,
             gen_fn, extractor, num_gen=num_gen, batch_size=batch_size,
             rng=rng, resize_on_device=resize_on_device, mode=mode,
             return_moments=True)
-        ref_dev = _device_ref_stats(dataset_name, mode, ref_mu, ref_sigma)
-        return float(_frechet_device(mu, sigma, *ref_dev))
+        # Moments accumulate on device (pilot-centered, precision='highest'
+        # — test-pinned against host-f64 np.cov at 2048 dims); the Fréchet
+        # itself finishes on HOST in f64. A f32 eigh-based tr sqrtm(S1 S2)
+        # at 2048 dims overestimates by O(1e3) once the distributions get
+        # close (observed: in-training FID of -54 mid-campaign, which
+        # poisons best-checkpoint tracking), while downloading the 16MB
+        # sigma once per eval is trivial next to feature extraction.
+        return float(frechet_distance(np.asarray(mu, np.float64),
+                                      np.asarray(sigma, np.float64),
+                                      ref_mu, ref_sigma))
     feats = get_model_features(gen_fn, extractor, num_gen=num_gen,
                                batch_size=batch_size, rng=rng,
                                resize_on_device=resize_on_device, mode=mode)

@@ -123,6 +123,13 @@ def run(config: dict):
             state, state_dict = load_checkpoint(
                 weights_dir, state, tag,
                 load_optim=bool(config.get("load_optim", True)))
+            if float(state_dict.get("best_FID", 0.0)) < 0:
+                # self-heal checkpoints poisoned by an invalid (negative)
+                # FID recorded before the guard in _maybe_test existed
+                if is_main:
+                    print(f"resetting invalid best_FID "
+                          f"{state_dict['best_FID']} from checkpoint")
+                state_dict["best_FID"] = 999999.0
 
     # Log sinks write files — process 0 only; other processes still track
     # state_dict so best/rotation bookkeeping stays consistent everywhere.
@@ -423,6 +430,16 @@ def run_test(G, state, state_dict, config, metrics_log):
                 jax.clear_caches()
     if is_main:
         print(f"The FID score is {fid}")
+    if not np.isfinite(fid) or fid < 0:
+        # Fréchet distance is nonnegative by construction: a negative or
+        # non-finite value means the eval numerics failed (seen once from a
+        # f32 device eigh at 2048 dims), and letting it into best tracking
+        # would beat every real score for the rest of the run.
+        if is_main:
+            print(f"FID {fid} is invalid (Fréchet >= 0); "
+                  "excluded from best-checkpoint tracking")
+            metrics_log.log(itr=int(state_dict["itr"]), FID=float(fid))
+        return
     if config.get("which_best", "FID") == "FID" and fid < state_dict["best_FID"]:
         # Write the best-tagged checkpoint with num_best_copies rotation
         # (reference: train_fns.py:222-231, utils/__init__.py:689-726).

@@ -182,3 +182,33 @@ def test_cli_underscore_and_dash_flags(tmp_path):
         ["--device_transform", "true", "--fid-dataset-name", "synv2"]))
     assert args["device_transform"] is True
     assert args["fid_dataset_name"] == "synv2"
+
+
+def test_negative_fid_excluded_from_best_tracking(tmp_path, monkeypatch):
+    """Fréchet distance is nonnegative; a negative value (f32 eval numerics
+    gone bad) must not enter best_FID or write a best checkpoint — once
+    recorded, no real score could ever beat it."""
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state
+    from ieagan_tpu.train import driver as driver_mod
+    from ieagan_tpu.utils import MetricsLogger, read_jsonl
+
+    cfg = tiny_config(outputroot=str(tmp_path), run_name="negfid")
+    (tmp_path / "negfid" / "logs").mkdir(parents=True)
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+
+    from ieagan_tpu.eval import fid as fid_mod
+    monkeypatch.setattr(fid_mod, "compute_fid_from_state",
+                        lambda *a, **k: -54.13)
+    state_dict = {"itr": 7, "best_FID": 999999.0, "save_best_num": 0}
+    mlog = MetricsLogger(cfg)
+    driver_mod.run_test(G, state, state_dict, cfg, mlog)
+
+    assert state_dict["best_FID"] == 999999.0
+    assert state_dict["save_best_num"] == 0
+    assert not (tmp_path / "negfid" / "weights" / "G_best0.msgpack").exists()
+    # the raw value is still recorded in the metric log for diagnosis
+    recs = read_jsonl(tmp_path / "negfid" / "logs" / "metric_log.jsonl")
+    assert recs and recs[-1]["FID"] == pytest.approx(-54.13)
