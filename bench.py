@@ -235,15 +235,22 @@ def phase_generate() -> dict:
 
 
 def phase_train() -> dict:
-    """Train-step throughput phase (fresh process = fresh chip client)."""
+    """Train-step throughput phase (fresh process = fresh chip client).
+
+    BENCH_TRAIN_REMAT: "1"/"true" -> remat every block, "wide" -> remat
+    only the two highest-resolution stages (models/generator.py:116-119).
+    BENCH_TRAIN_EPB: events_per_batch override (step-time/HBM variants)."""
     _setup_jax()
     from ieagan_tpu.core.config import DEFAULT_CONFIG
 
     config = dict(DEFAULT_CONFIG)
-    if os.environ.get("BENCH_TRAIN_REMAT"):
-        config["remat"] = True
+    remat_env = os.environ.get("BENCH_TRAIN_REMAT")
+    if remat_env:
+        config["remat"] = remat_env if remat_env == "wide" else True
+    if os.environ.get("BENCH_TRAIN_EPB"):
+        config["events_per_batch"] = int(os.environ["BENCH_TRAIN_EPB"])
     extra = bench_train(config)
-    if os.environ.get("BENCH_TRAIN_REMAT"):
+    if remat_env:
         # leaked HBM from dead clients (tunneled-chip hazard): the remat
         # step trades ~7% time for much less activation memory — mark the
         # number as a fallback only when a retry actually substituted it.
