@@ -9,7 +9,10 @@ expressed declaratively:
     from the sharding annotations — there is no hand-written collective in
     the train step.
   * **model** axis (optional): output channels of the widest kernels are
-    sharded (Megatron-style column split); XLA places all-gathers where the
+    sharded (Megatron-style column split), and the closing layer of known
+    back-to-back pairs (transformer MLP / attention projections) is
+    row-sharded so each pair costs one all-reduce rather than per-layer
+    all-gathers; XLA places the remaining collectives where the
     residual/shortcut structure needs them. The flagship model is small
     (~10-50M params) so tp is a scaling demonstrator, off by default.
 
@@ -34,20 +37,43 @@ def _model_axis_size(mesh: Mesh) -> int:
     return mesh.shape.get("model", 1)
 
 
+# Second members of known back-to-back linear pairs (RRM transformer MLP
+# linear1->linear2, attention qkv_proj->o_proj, SA-GAN theta/phi/g->o —
+# ops/rrm.py:40-85, ops/attention.py). Their INPUT (contracting) axis is
+# sharded (Megatron row split) so the column-sharded producer's activation
+# flows through the pair still sharded, and GSPMD inserts ONE all-reduce at
+# the row layer's output instead of an all-gather after every column layer.
+_ROW_SHARD_NAMES = frozenset({"linear2", "o_proj", "o"})
+
+
 def param_shardings(params: Any, mesh: Mesh, tensor_parallel: bool = False,
                     min_shard_dim: int = 64):
     """NamedShardings for a param pytree.
 
     With tensor_parallel, kernels whose output (last) axis is wide and
-    divisible by the model-axis size are column-sharded; everything else is
-    replicated.
+    divisible by the model-axis size are column-sharded — except the second
+    member of a known linear pair (``_ROW_SHARD_NAMES``), whose input
+    (contracting) axis is row-sharded instead. Everything else (biases,
+    norm scales, narrow kernels) is replicated.
     """
     tp = _model_axis_size(mesh)
 
     def rule(path, leaf):
-        if (tensor_parallel and tp > 1 and hasattr(leaf, "ndim")
-                and leaf.ndim >= 2 and leaf.shape[-1] % tp == 0
-                and leaf.shape[-1] >= min_shard_dim):
+        if not (tensor_parallel and tp > 1 and hasattr(leaf, "ndim")
+                and leaf.ndim >= 2):
+            return NamedSharding(mesh, P())
+        names = [getattr(k, "key", getattr(k, "name", None)) for k in path]
+        # Row split: kernel of a pair-closing layer, contracting axis wide.
+        # Axis -2 is the input axis for both Dense (I, O) and conv HWIO.
+        if (len(names) >= 2 and names[-1] == "kernel"
+                and names[-2] in _ROW_SHARD_NAMES
+                and leaf.shape[-2] % tp == 0
+                and leaf.shape[-2] >= min_shard_dim):
+            spec = [None] * leaf.ndim
+            spec[-2] = "model"
+            return NamedSharding(mesh, P(*spec))
+        # Column split (default): output axis wide.
+        if leaf.shape[-1] % tp == 0 and leaf.shape[-1] >= min_shard_dim:
             spec = [None] * leaf.ndim
             spec[-1] = "model"
             return NamedSharding(mesh, P(*spec))

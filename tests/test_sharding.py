@@ -26,13 +26,71 @@ def test_mesh_axes(mesh8):
 
 
 def test_param_shardings_tp_rule(mesh8):
+    P = jax.sharding.PartitionSpec
     params = {"wide": {"kernel": jnp.zeros((32, 128))},
               "narrow": {"kernel": jnp.zeros((8, 30))},
               "bias": {"b": jnp.zeros((128,))}}
     sh = param_shardings(params, mesh8, tensor_parallel=True)
-    assert "model" in str(sh["wide"]["kernel"].spec)
-    assert sh["narrow"]["kernel"].spec == jax.sharding.PartitionSpec()
-    assert sh["bias"]["b"].spec == jax.sharding.PartitionSpec()
+    assert sh["wide"]["kernel"].spec == P(None, "model")
+    assert sh["narrow"]["kernel"].spec == P()
+    assert sh["bias"]["b"].spec == P()
+
+
+def test_param_shardings_tp_pair_rule(mesh8):
+    """Megatron pairing: the closing layer of a known linear pair is
+    row-sharded (input axis) so the pair costs one all-reduce, not
+    per-layer all-gathers."""
+    P = jax.sharding.PartitionSpec
+    params = {"mlp": {"linear1": {"kernel": jnp.zeros((128, 512)),
+                                  "bias": jnp.zeros((512,))},
+                      "linear2": {"kernel": jnp.zeros((512, 128)),
+                                  "bias": jnp.zeros((128,))}},
+              "attn": {"qkv_proj": {"kernel": jnp.zeros((128, 384))},
+                       "o_proj": {"kernel": jnp.zeros((128, 128))},
+                       # conv HWIO: row split lands on axis 2 (= -2)
+                       "o": {"kernel": jnp.zeros((1, 1, 96, 192))}},
+              # narrow contracting axis: pair rule must not fire, column may
+              "tiny": {"linear2": {"kernel": jnp.zeros((30, 128))}}}
+    sh = param_shardings(params, mesh8, tensor_parallel=True)
+    assert sh["mlp"]["linear1"]["kernel"].spec == P(None, "model")
+    assert sh["mlp"]["linear2"]["kernel"].spec == P("model", None)
+    assert sh["mlp"]["linear2"]["bias"].spec == P()
+    assert sh["attn"]["qkv_proj"]["kernel"].spec == P(None, "model")
+    assert sh["attn"]["o_proj"]["kernel"].spec == P("model", None)
+    assert sh["attn"]["o"]["kernel"].spec == P(None, None, "model", None)
+    assert sh["tiny"]["linear2"]["kernel"].spec == P(None, "model")
+
+
+def test_tp_step_matches_replicated(mesh8):
+    """One fused train step with TP shardings must equal the replicated
+    run — the sharding annotations change layout/collectives, not math."""
+    cfg = tiny_config(events_per_batch=4, G_ch=16, D_ch=16)
+    B = cfg["n_classes"] * cfg["events_per_batch"]
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1),
+        (B, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1),
+        minval=-1, maxval=1)
+    y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+
+    def one_step(tp):
+        G = Generator.from_config(cfg)
+        D = Discriminator.from_config(cfg)
+        state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+        state = place_state(state, mesh8, tensor_parallel=tp)
+        step = make_sharded_train_step(G, D, cfg, mesh8, tensor_parallel=tp)
+        new_state, mets = step(state, x, y, jax.random.PRNGKey(2))
+        jax.block_until_ready(new_state.params_G)
+        return new_state, mets
+
+    s_rep, m_rep = one_step(False)
+    s_tp, m_tp = one_step(True)
+    for k in m_rep:
+        np.testing.assert_allclose(float(m_rep[k]), float(m_tp[k]),
+                                   rtol=2e-3, atol=2e-3, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s_rep.params_G),
+                    jax.tree_util.tree_leaves(s_tp.params_G)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
 
 
 def test_optimizer_moments_follow_tp_shardings(mesh8):
