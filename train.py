@@ -22,9 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 if os.environ.get("IEAGAN_PLATFORM"):
     import jax
     jax.config.update("jax_platforms", os.environ["IEAGAN_PLATFORM"])
-if os.environ.get("IEAGAN_CACHE_DIR"):
+# Persistent compilation cache: default ON (watchdog resumes and repeat
+# campaigns would otherwise re-pay the ~8 min flagship compile on the
+# tunneled chip every launch). IEAGAN_CACHE_DIR overrides the location;
+# set it to "0" or "off" to disable.
+_cache_dir = os.environ.get(
+    "IEAGAN_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+if _cache_dir not in ("0", "off", ""):
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.environ["IEAGAN_CACHE_DIR"])
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from ieagan_tpu.core.config import DEFAULT_CONFIG
