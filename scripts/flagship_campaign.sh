@@ -10,11 +10,14 @@
 # Architecture and regime are the reference's own flagship config
 # (/root/reference/config.json: 256px, H_base 3, G_ch=D_ch=32, lrs 5e-5,
 # batch 40) — those are this repo's config DEFAULTS, so only the run
-# plumbing is passed explicitly. Deviations from upstream, both documented
-# quirk fixes: diff_aug_real=True (default; upstream's aug-on-fakes-only
-# saturates D — docs/VALIDATION.md) and ema_start 2000 (upstream's 10000
-# assumes a 100k+ step budget; at 12k steps it would leave the EMA
-# essentially unaveraged).
+# plumbing is passed explicitly. The one deviation from upstream is the
+# documented quirk fix diff_aug_real=True (upstream's aug-on-fakes-only
+# saturates D — docs/VALIDATION.md). ema_start stays at the reference's
+# 10000: before ema_start the decay is 0, so G_ema tracks raw G exactly;
+# an earlier start (we tried 2000) engages decay 0.9999 — a 10k-step time
+# constant — at whatever state G happens to be in, and at a 12k-step
+# budget the EMA then NEVER recovers (it froze a black-basin itr-2000
+# snapshot at ~37% weight through the end of the run).
 #
 # Dataset: synv2 (structured synthetic PXD events,
 # scripts/make_synthetic_dataset.py). The committed FID/KID reference
@@ -46,6 +49,5 @@ exec scripts/campaign_watchdog.sh "_local/runs/${RUN}.log" 900 -- \
     --dataroot _local/synv2/train --outputroot _local/runs \
     --run-name "$RUN" \
     --num_epochs 8 --stop_after "$STEPS" \
-    --ema_start 2000 \
     --fid_dataset_name synv2 \
     --device_transform true
