@@ -250,10 +250,12 @@ def phase_train() -> dict:
     if os.environ.get("BENCH_TRAIN_EPB"):
         config["events_per_batch"] = int(os.environ["BENCH_TRAIN_EPB"])
     extra = bench_train(config)
-    if remat_env:
+    if os.environ.get("BENCH_REMAT_IS_FALLBACK"):
         # leaked HBM from dead clients (tunneled-chip hazard): the remat
         # step trades ~7% time for much less activation memory — mark the
-        # number as a fallback only when a retry actually substituted it.
+        # number as a fallback only when the retry actually substituted the
+        # remat config (a caller's deliberate BENCH_TRAIN_REMAT variant is
+        # not a fallback).
         extra["train_remat_fallback"] = True
     return extra
 
@@ -341,7 +343,8 @@ def main():
         # Fresh client: the generate phase's exit released its HBM. Brief
         # settle gap — rapid client churn can FAILED_PRECONDITION at init.
         time.sleep(int(os.environ.get("BENCH_PHASE_GAP_S", "30")))
-        attempts = ({}, {"BENCH_TRAIN_REMAT": "1"})
+        attempts = ({}, {"BENCH_TRAIN_REMAT": "1",
+                         "BENCH_REMAT_IS_FALLBACK": "1"})
         for attempt, env_extra in enumerate(attempts):
             train = _run_phase("train", env_extra)
             if train is not None:
