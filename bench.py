@@ -125,7 +125,9 @@ def bench_train(config) -> dict:
     steps_per_sec = n_steps / dt
     out = {"train_steps_per_sec": round(steps_per_sec, 4),
            "train_ms_per_step": round(1000.0 * dt / n_steps, 1),
-           "train_events_per_batch": epb}
+           "train_events_per_batch": epb,
+           # cross-variant comparable: epb>1 packs more events per step
+           "train_events_per_sec": round(steps_per_sec * epb, 4)}
     peak = peak_flops(jax.devices()[0])
     if flops and peak:
         out["train_flops_per_step"] = flops
