@@ -39,6 +39,22 @@ STATS_DIR = os.environ.get(
 
 # ---------------------------------------------------------------- features
 
+@functools.lru_cache(maxsize=None)
+def _shared_inception_apply(dtype):
+    """One jitted Inception apply per dtype, shared across FeatureExtractor
+    instances: scripts that build several extractors (kid_eval,
+    moments_check, fid_parity) otherwise re-trace and re-compile the
+    backbone per instance (~40s each on the tunneled chip)."""
+    model = InceptionV3Features(dtype=dtype)
+    return jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+
+# Loaded+uploaded backbone params keyed by (path, mtime): re-minting the
+# backbone file invalidates the entry (stale-cache hazard flagged in the
+# round-2 advisor review of the stats cache applies here identically).
+_LOADED_WEIGHTS: dict = {}
+
+
 class FeatureExtractor:
     """InceptionV3 feature extractor with optional torch-weight loading."""
 
@@ -51,27 +67,31 @@ class FeatureExtractor:
             # run produces (incl. best-checkpoint selection) would be noise
             raise FileNotFoundError(
                 f"FID backbone weights not found: {weights_path}")
+        if not weights_path:
+            weights_path = os.environ.get("IEAGAN_INCEPTION_WEIGHTS")
+            if weights_path and not os.path.exists(weights_path):
+                weights_path = None
         if weights_path:
-            from ieagan_tpu.utils.transfer import packed_device_put
-            # one packed upload at construction: per-leaf device_put of the
-            # ~300-array backbone over the network-attached chip costs a
-            # tunnel round trip PER LEAF PER CALL (minutes) otherwise
-            self.params = packed_device_put(self._load_torch(weights_path))
+            self.params = self._cached_load(weights_path)
             self.source = weights_path
         else:
-            default = os.environ.get("IEAGAN_INCEPTION_WEIGHTS")
-            if default and os.path.exists(default):
-                from ieagan_tpu.utils.transfer import packed_device_put
-                self.params = packed_device_put(self._load_torch(default))
-                self.source = default
-            else:
-                # Deterministic random-projection fallback (finetuned blob is
-                # a missing LFS artifact upstream; see eval/inception.py).
-                x = jnp.zeros((1, 299, 299, 3), jnp.float32)
-                self.params = self.model.init(jax.random.PRNGKey(seed), x)["params"]
-                self.source = f"random-init(seed={seed})"
-        self._apply = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x))
+            # Deterministic random-projection fallback (finetuned blob is
+            # a missing LFS artifact upstream; see eval/inception.py).
+            x = jnp.zeros((1, 299, 299, 3), jnp.float32)
+            self.params = self.model.init(jax.random.PRNGKey(seed), x)["params"]
+            self.source = f"random-init(seed={seed})"
+        self._apply = _shared_inception_apply(dtype)
+
+    def _cached_load(self, path: str):
+        key = (os.path.abspath(path), os.path.getmtime(path))
+        if key not in _LOADED_WEIGHTS:
+            from ieagan_tpu.utils.transfer import packed_device_put
+            # one packed upload per (path, mtime): per-leaf device_put of
+            # the ~300-array backbone over the network-attached chip costs
+            # a tunnel round trip PER LEAF PER CALL (minutes) otherwise
+            _LOADED_WEIGHTS.clear()  # at most one resident backbone copy
+            _LOADED_WEIGHTS[key] = packed_device_put(self._load_torch(path))
+        return _LOADED_WEIGHTS[key]
 
     def _load_torch(self, path):
         if path.endswith(".msgpack"):
