@@ -101,6 +101,11 @@ def run(config: dict):
     G = Generator.from_config(config, dtype=policy.compute_dtype)
     D = Discriminator.from_config(config, dtype=policy.compute_dtype)
 
+    # Init-stage progress prints double as watchdog liveness markers: a
+    # chip-server wedge during init is otherwise indistinguishable from a
+    # slow compile (round-3 campaign lost ~30 min per silent init wedge).
+    if jax.process_index() == 0:
+        print("init: device param init...", flush=True)
     rng, k_init = jax.random.split(rng)
     state = init_train_state(G, D, config, k_init)
     n_params_g = sum(x.size for x in jax.tree_util.tree_leaves(state.params_G))
@@ -123,6 +128,9 @@ def run(config: dict):
             state, state_dict = load_checkpoint(
                 weights_dir, state, tag,
                 load_optim=bool(config.get("load_optim", True)))
+            if is_main:
+                print(f"checkpoint '{tag}' loaded (itr "
+                      f"{state_dict.get('itr')})", flush=True)
             if float(state_dict.get("best_FID", 0.0)) < 0:
                 # self-heal checkpoints poisoned by an invalid (negative)
                 # FID recorded before the guard in _maybe_test existed
@@ -232,6 +240,10 @@ def run(config: dict):
         else:
             train_step = jax.jit(base_step, donate_argnums=(0,))
 
+    if is_main:
+        print("entering train loop (first step compiles: ~1-8 min on the "
+              "tunneled chip, fast when the persistent cache is warm)",
+              flush=True)
     itr = int(state.itr)
     t_start = time.time()
     t_last_log = t_start

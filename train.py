@@ -78,6 +78,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # Line-buffer stdout: the campaign watchdog detects chip-server wedges
+    # by run-log mtime, so every progress line must land immediately even
+    # when stdout is a file (block-buffered by default).
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except (AttributeError, ValueError):
+        pass
     args = vars(build_parser().parse_args(argv))
     config = dict(DEFAULT_CONFIG)
     config_path = args.pop("config", None)
