@@ -63,24 +63,32 @@ def init_train_state(G, D, config, rng) -> TrainState:
                  int(config.get("events_per_batch", 1)))
     x = jnp.zeros((batch, int(config["resolution"]), _width(config), 1),
                   jnp.float32)
-    # jitted init: eager init dispatches thousands of ops — minutes on a
-    # network-attached TPU.
-    gv = jax.jit(lambda: G.init({"params": kG, "rdof": kr}, z, y, train=False))()
-    dv = jax.jit(lambda: D.init({"params": kD}, x, y, train=False))()
-    params_G = gv["params"]
-    state_G = {k: v for k, v in gv.items() if k != "params"}
-    params_D = dv["params"]
-    state_D = {k: v for k, v in dv.items() if k != "params"}
     g_tx, d_tx = make_optimizers(config)
-    return TrainState(
-        params_G=params_G, params_D=params_D, state_G=state_G, state_D=state_D,
-        opt_G=g_tx.init(params_G), opt_D=d_tx.init(params_D),
-        # EMA starts as a *copy* of the source params (reference:
-        # utils/__init__.py:817-821); distinct buffers also keep jit
-        # donation sound.
-        params_G_ema=jax.tree_util.tree_map(jnp.copy, params_G),
-        state_G_ema=jax.tree_util.tree_map(jnp.copy, state_G),
-        itr=jnp.zeros((), jnp.int32))
+
+    # ONE jitted init for the whole TrainState: G.init + D.init + optax
+    # init + the EMA copies. Splitting these (or leaving the copies and
+    # zeros_like eager) dispatches dozens of small executables, each a
+    # separate round-trip compile on a network-attached TPU — measured
+    # >15 min of init on the tunneled chip vs one compile here.
+    def _build():
+        gv = G.init({"params": kG, "rdof": kr}, z, y, train=False)
+        dv = D.init({"params": kD}, x, y, train=False)
+        params_G = gv["params"]
+        state_G = {k: v for k, v in gv.items() if k != "params"}
+        params_D = dv["params"]
+        state_D = {k: v for k, v in dv.items() if k != "params"}
+        return TrainState(
+            params_G=params_G, params_D=params_D,
+            state_G=state_G, state_D=state_D,
+            opt_G=g_tx.init(params_G), opt_D=d_tx.init(params_D),
+            # EMA starts as a *copy* of the source params (reference:
+            # utils/__init__.py:817-821); distinct buffers also keep jit
+            # donation sound (jit outputs get distinct result buffers).
+            params_G_ema=jax.tree_util.tree_map(jnp.copy, params_G),
+            state_G_ema=jax.tree_util.tree_map(jnp.copy, state_G),
+            itr=jnp.zeros((), jnp.int32))
+
+    return jax.jit(_build)()
 
 
 def _width(config) -> int:
