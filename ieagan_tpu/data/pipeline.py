@@ -53,6 +53,16 @@ class EventLoader:
         self._epb_local = events_per_batch // self.process_count
         self._epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Seed the shuffle epoch counter (resume path).
+
+        Each ``__iter__`` draws its permutation from ``(seed, _epoch)`` and
+        then increments ``_epoch``; a driver resuming at epoch E must seed
+        this so the resumed run continues the epoch-E order instead of
+        silently re-visiting epoch 0's.
+        """
+        self._epoch = int(epoch)
+
     def __len__(self):
         n_local = len(self.dataset) // self.process_count
         n = n_local // self._epb_local

@@ -51,6 +51,34 @@ def _import_reference_model(ref_dir: str):
     return mod
 
 
+def resolve_generator_checkpoint(weights_path: str, tag: str | None = None,
+                                 use_ema: bool = True) -> str:
+    """Resolve a weights dir to a concrete generator checkpoint file.
+
+    Driver runs tag every component (``G_ema_copy<N>.msgpack``,
+    ``G_ema_best<N>.msgpack`` — utils/checkpoint.py); untagged
+    ``G_ema.msgpack``/``G.msgpack`` only exist for hand-exported files.
+    A file path is returned as-is. With ``tag=None`` the newest copy tag
+    (by stored itr) is used.
+    """
+    import os
+    if not os.path.isdir(weights_path):
+        return weights_path
+    if tag is None:
+        from ieagan_tpu.utils.checkpoint import latest_checkpoint
+        tag = latest_checkpoint(weights_path)
+    names = (["G_ema", "G"] if use_ema else ["G"])
+    for base in names:
+        cand = os.path.join(
+            weights_path,
+            f"{base}_{tag}.msgpack" if tag else f"{base}.msgpack")
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"no generator checkpoint under {weights_path}"
+        + (f" for tag '{tag}'" if tag else ""))
+
+
 class Model:
     """Generator + parameters, ready to generate events.
 
@@ -79,26 +107,15 @@ class Model:
 
     @classmethod
     def restore(cls, weights_path: str, config: dict | None = None,
-                use_ema: bool = True, dtype: Any = jnp.float32) -> "Model":
+                use_ema: bool = True, dtype: Any = jnp.float32,
+                tag: str | None = None) -> "Model":
         """Load a Model from a checkpoint: a weights dir (picks
-        G_ema/G + latest copy tag) or a single G*.msgpack file."""
-        import os
+        G_ema/G + latest copy tag, or an explicit ``tag`` like "best0")
+        or a single G*.msgpack file."""
         from flax import serialization
         model = cls(config=config, dtype=dtype)
-        path = weights_path
-        if os.path.isdir(path):
-            from ieagan_tpu.utils.checkpoint import latest_checkpoint
-            tag = latest_checkpoint(path)
-            names = (["G_ema", "G"] if use_ema else ["G"])
-            for base in names:
-                cand = os.path.join(
-                    path, f"{base}_{tag}.msgpack" if tag else f"{base}.msgpack")
-                if os.path.exists(cand):
-                    path = cand
-                    break
-            else:
-                raise FileNotFoundError(
-                    f"no generator checkpoint under {weights_path}")
+        path = resolve_generator_checkpoint(weights_path, tag=tag,
+                                            use_ema=use_ema)
         with open(path, "rb") as fp:
             tree = serialization.from_bytes(
                 {"params": model.params, "state": model.state}, fp.read())

@@ -182,6 +182,11 @@ def run(config: dict):
                               seed=int(config["seed"]),
                               events_per_batch=epb,
                               raw_uint8=device_transform)
+        # Resume: continue the shuffle sequence at the resumed epoch — a
+        # fresh loader would otherwise re-deal epoch 0's order (the epoch
+        # loop below starts at state_dict["epoch"], so the permutations
+        # must line up with it).
+        loader.set_epoch(int(state_dict.get("epoch", 0)))
         # device_put in the loader's producer thread overlaps the
         # host->device upload with the previous step's compute.
         loader.sharding = jax.devices()[0] if device_count == 1 else None

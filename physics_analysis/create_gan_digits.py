@@ -6,15 +6,22 @@ Generates events on the TPU with the deployed generator, sparse-extracts
 digits through the native C++ kernel, and either feeds them into a basf2
 RootOutput event loop (when basf2 is importable) or writes npz shards.
 
+Checkpoints are resolved the way the training driver writes them — tagged
+component files (``G_ema_copy<N>.msgpack`` / ``G_ema_best<N>.msgpack``,
+utils/checkpoint.py) — via ``Model.restore``; pass ``--tag best0`` to pin
+a specific tag, or point ``--checkpoint`` at a single ``G*.msgpack`` file.
+
 Usage:
   python physics_analysis/create_gan_digits.py <output> <num_events> \
-      [--checkpoint <weights_dir>] [--events-per-call 4] [--seed 0]
+      [--checkpoint <weights_dir_or_msgpack>] [--tag best0] \
+      [--config cfg.json] [--events-per-call 4] [--seed 0]
 """
 
 from __future__ import annotations
 
 import argparse
 import hashlib
+import json
 import os
 import sys
 
@@ -26,33 +33,34 @@ def main():
     ap.add_argument("output", type=str)
     ap.add_argument("num_events", type=int)
     ap.add_argument("--checkpoint", type=str, default=None,
-                    help="weights dir with a G_ema/G checkpoint")
+                    help="weights dir (driver layout) or a G*.msgpack file")
+    ap.add_argument("--tag", type=str, default=None,
+                    help="checkpoint tag (e.g. copy12000, best0); default: "
+                         "newest copy tag in the weights dir")
+    ap.add_argument("--config", type=str, default=None,
+                    help="JSON file of model-config overrides (a driver "
+                         "run's dumped config works)")
     ap.add_argument("--events-per-call", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
-    if args.checkpoint:
-        # integrity note, mirroring the reference's checkpoint sha256 print
-        # (create_g1.py:173-178)
-        for name in ("G_ema.msgpack", "G.msgpack"):
-            path = os.path.join(args.checkpoint, name)
-            if os.path.exists(path):
-                with open(path, "rb") as fp:
-                    digest = hashlib.sha256(fp.read()).hexdigest()
-                print(f"checkpoint {name} sha256: {digest}")
-                break
+    config = None
+    if args.config:
+        with open(args.config) as fp:
+            config = json.load(fp)
 
-    from ieagan_tpu.deploy import Model, produce_events
-    model = Model()
+    from ieagan_tpu.deploy import (Model, produce_events,
+                                   resolve_generator_checkpoint)
     if args.checkpoint:
-        from flax import serialization
-        path = os.path.join(args.checkpoint, "G_ema.msgpack")
-        if not os.path.exists(path):
-            path = os.path.join(args.checkpoint, "G.msgpack")
-        with open(path, "rb") as fp:
-            tree = serialization.from_bytes(
-                {"params": model.params, "state": model.state}, fp.read())
-        model.params, model.state = tree["params"], tree["state"]
+        resolved = resolve_generator_checkpoint(args.checkpoint, tag=args.tag)
+        # integrity note on the file actually loaded, mirroring the
+        # reference's checkpoint sha256 print (create_g1.py:173-178)
+        with open(resolved, "rb") as fp:
+            digest = hashlib.sha256(fp.read()).hexdigest()
+        print(f"checkpoint {os.path.basename(resolved)} sha256: {digest}")
+        model = Model.restore(resolved, config=config)
+    else:
+        model = Model(config=config)
 
     n = produce_events(model, args.num_events, out_dir=args.output,
                        events_per_call=args.events_per_call, seed=args.seed)

@@ -111,6 +111,24 @@ class TestLoader:
         assert sorted(np.round(e1, 3).tolist()) == sorted(np.round(e2, 3).tolist())
         assert e1 != e2  # different epoch order
 
+    def test_set_epoch_resumes_shuffle_sequence(self, png_tree):
+        """A resumed loader seeded with set_epoch(E) deals exactly the
+        epoch-E order (not epoch 0's): each event of the interrupted epoch
+        is still seen exactly once across the original + resumed halves."""
+        root, *_ = png_tree
+        ds = ImageEventsDataset(str(root), noise_scale=0.0)
+        fresh = EventLoader(ds, num_workers=1, shuffle=True, seed=3,
+                            events_per_batch=1)
+        epoch0 = fresh._order().tolist()
+        fresh._epoch = 1
+        epoch1 = fresh._order().tolist()
+        resumed = EventLoader(ds, num_workers=1, shuffle=True, seed=3,
+                              events_per_batch=1)
+        resumed.set_epoch(1)
+        assert resumed._order().tolist() == epoch1
+        assert epoch1 != epoch0
+        assert sorted(epoch1) == sorted(epoch0)
+
     def test_loader_prefetch_does_not_hang_on_break(self, png_tree):
         root, *_ = png_tree
         ds = ImageEventsDataset(str(root))

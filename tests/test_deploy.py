@@ -65,6 +65,126 @@ class TestProducer:
                                       np.ones((5, 3), np.int32))
 
 
+def _install_fake_basf2(monkeypatch):
+    """Minimal basf2/ROOT.Belle2 stand-ins so the DigitCreator path runs in
+    CI (contract of Physics_Analysis/create_g1.py:97-122: one queued event
+    per event() call, one appendNew per above-threshold pixel)."""
+    import sys
+    import types
+
+    class FakeVxdID:
+        def __init__(self, layer, ladder, sensor):
+            self.id = (layer, ladder, sensor)
+
+    class FakePXDDigit:
+        def __init__(self, vxd_id, col, row, charge):
+            self.vxd_id, self.col, self.row, self.charge = (
+                vxd_id, col, row, charge)
+
+    class FakeSlot:
+        def __assign__(self, digit):
+            self.digit = digit
+
+    class FakePyStoreArray:
+        instances = []
+
+        def __init__(self, name):
+            self.name = name
+            self.slots = []
+            FakePyStoreArray.instances.append(self)
+
+        def registerInDataStore(self):
+            self.registered = True
+
+        def appendNew(self):
+            slot = FakeSlot()
+            self.slots.append(slot)
+            return slot
+
+    belle2 = types.SimpleNamespace(
+        VxdID=FakeVxdID, PXDDigit=FakePXDDigit, PyStoreArray=FakePyStoreArray)
+    root_mod = types.ModuleType("ROOT")
+    root_mod.Belle2 = belle2
+
+    class FakeModule:
+        pass
+
+    class FakePath:
+        def __init__(self):
+            self.modules = []
+
+        def add_module(self, mod, **kwargs):
+            self.modules.append((mod, kwargs))
+
+    def fake_process(path):
+        n = next(kw["evtNumList"][0] for mod, kw in path.modules
+                 if mod == "EventInfoSetter")
+        creator = next(mod for mod, _ in path.modules
+                       if not isinstance(mod, str))
+        creator.initialize()
+        for _ in range(n):
+            creator.event()
+
+    basf2_mod = types.ModuleType("basf2")
+    basf2_mod.Module = FakeModule
+    basf2_mod.Path = FakePath
+    basf2_mod.process = fake_process
+    monkeypatch.setitem(sys.modules, "basf2", basf2_mod)
+    monkeypatch.setitem(sys.modules, "ROOT", root_mod)
+    return FakePyStoreArray
+
+
+class TestBasf2Contract:
+    CFG = dict(resolution=32, n_classes=4, H_base=1, G_ch=4, G_depth=1,
+               G_attn="0", use_pallas_attention=False)
+
+    def test_digit_creator_appends_queue_digits(self, monkeypatch):
+        """produce_events drives the (mocked) basf2 event loop and every
+        appended PXDDigit matches the producer queue's sparse digits for
+        the same model+seed."""
+        from ieagan_tpu.deploy import Model
+        store_cls = _install_fake_basf2(monkeypatch)
+        store_cls.instances.clear()
+        m = Model(config=self.CFG)
+        # expected digits: an identical producer (same model, same seed)
+        expected = list(prod.EventProducer(
+            m, num_events=2, events_per_call=1, seed=5).start())
+
+        n = prod.produce_events(m, 2, out_dir=None, events_per_call=1,
+                                seed=5)
+        assert n == 2
+        (store,) = store_cls.instances
+        assert store.name == "PXDDigits" and store.registered
+        want = [(int(s), int(r), int(c), int(ch))
+                for coords, charges in expected
+                for (s, r, c), ch in zip(coords, charges)]
+        got = [(slot.digit.vxd_id, slot.digit.row, slot.digit.col,
+                slot.digit.charge) for slot in store.slots]
+        assert len(got) == len(want)
+        # vxd_id is the per-sensor VxdID object; map back via the creator's
+        # 40-entry table ordering (layer-major, = sensor index order)
+        for (s, r, c, ch), (vxd, row, col, charge) in zip(want, got):
+            assert (row, col, charge) == (r, c, ch)
+            assert isinstance(vxd.id, tuple)
+
+    def test_vxd_id_table_covers_40_sensors(self, monkeypatch):
+        """The DigitCreator's VxdID table enumerates the 40 physical PXD
+        sensors (layer 1: 8 ladders x 2, layer 2: 12 ladders x 2)."""
+        from ieagan_tpu.deploy import Model
+        _install_fake_basf2(monkeypatch)
+        m = Model(config=self.CFG)
+        producer = prod.EventProducer(m, num_events=1, events_per_call=1,
+                                      seed=0).start()
+        creator = prod.make_digit_creator(producer)
+        assert creator is not None
+        creator.initialize()
+        ids = [v.id for v in creator.vxd_ids]
+        assert len(ids) == 40 and len(set(ids)) == 40
+        assert sum(1 for l, *_ in ids if l == 1) == 16
+        assert sum(1 for l, *_ in ids if l == 2) == 24
+        producer.stop()
+
+
 def test_model_restore_from_checkpoint_dir(tmp_path):
     """Model.restore picks the EMA generator from a driver checkpoint dir."""
     import jax

@@ -6,6 +6,7 @@ import json
 import os
 
 import jax
+import numpy as np
 import pytest
 
 from ieagan_tpu.train.driver import run
@@ -65,6 +66,38 @@ def test_resume_restores_itr(finished_run):
     b = jax.tree_util.tree_leaves(state.params_G)
     for x1, x2 in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_create_gan_digits_from_driver_run_dir(finished_run, tmp_path,
+                                               monkeypatch, capsys):
+    """physics_analysis/create_gan_digits.py resolves the driver's TAGGED
+    checkpoints (G_ema_copy<N>.msgpack — the only kind a run dir ever
+    contains) and produces npz digit shards end-to-end (reference:
+    Physics_Analysis/create_g1.py:167-185)."""
+    import glob
+    import importlib.util
+    root, cfg, *_ = finished_run
+    run_dir = root / "t1"
+    cfg_dump = sorted(glob.glob(str(run_dir / "*_config.json")))[0]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "create_gan_digits", os.path.join(
+            repo, "physics_analysis", "create_gan_digits.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "digits"
+    monkeypatch.setattr("sys.argv", [
+        "create_gan_digits.py", str(out), "2",
+        "--checkpoint", str(run_dir / "weights"),
+        "--config", cfg_dump, "--events-per-call", "1"])
+    mod.main()
+    printed = capsys.readouterr().out
+    assert "G_ema_copy3.msgpack sha256:" in printed
+    shards = sorted(out.glob("events_*.npz"))
+    assert shards, "no npz shards produced"
+    total = sum(int(np.load(s)["n_events"]) for s in shards)
+    assert total == 2
 
 
 def test_refuses_existing_run_dir(finished_run):
