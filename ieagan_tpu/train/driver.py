@@ -356,8 +356,9 @@ def save_and_sample(G, state, state_dict, config, runpath):
     is_main = jax.process_index() == 0
     weights_dir = runpath / "weights"
     itr = state_dict["itr"]
-    if is_main:
-        save_checkpoint(weights_dir, state, state_dict, f"copy{itr}")
+    # cooperative: every process enters (TP-sharded leaves allgather inside
+    # _to_host); only process 0 writes files
+    save_checkpoint(weights_dir, state, state_dict, f"copy{itr}")
     # rotation bookkeeping (reference save_num semantics)
     if int(config.get("num_save_copies", 2)) > 0:
         state_dict["save_num"] = (state_dict.get("save_num", 0) + 1) \
@@ -463,9 +464,9 @@ def run_test(G, state, state_dict, config, metrics_log):
         n = state_dict.get("save_best_num", 0)
         weights_dir = (pathlib.Path(config["outputroot"]) / config["run_name"]
                        / "weights")
-        if is_main:
-            save_checkpoint(weights_dir, state,
-                            dict(state_dict, best_FID=float(fid)), f"best{n}")
+        # cooperative save: every process enters (see save_and_sample)
+        save_checkpoint(weights_dir, state,
+                        dict(state_dict, best_FID=float(fid)), f"best{n}")
         state_dict["save_best_num"] = (n + 1) % int(
             config.get("num_best_copies", 2))
     state_dict["best_FID"] = min(state_dict["best_FID"], fid)

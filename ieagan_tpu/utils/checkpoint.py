@@ -47,17 +47,19 @@ def _to_host(tree):
         return jax.tree_util.tree_map(np.asarray, tree)
     if any(isinstance(l, jax.Array) and not l.is_fully_addressable
            for l in leaves):
-        # Multi-host arrays: the jit packer would be a GLOBAL program (a
-        # process-0-only save deadlocks a pod), so fetch each leaf's local
-        # shard instead — replicated leaves carry the full value in any
-        # addressable shard. TP-sharded params would need an allgather
-        # first; refuse loudly rather than save garbage.
+        # Multi-host arrays: the jit packer would be a GLOBAL program, so
+        # fetch each leaf's local shard instead — replicated leaves carry
+        # the full value in any addressable shard. TP-sharded leaves are
+        # allgathered through a global identity program; this is why
+        # save_checkpoint must be entered by EVERY process (a
+        # process-0-only call would deadlock the pod at the first
+        # TP-sharded leaf).
         def fetch(l):
             if isinstance(l, jax.Array) and not l.is_fully_addressable:
                 if not l.is_fully_replicated:
-                    raise NotImplementedError(
-                        "checkpointing tensor-parallel multi-host params "
-                        "requires an allgather; gather before saving")
+                    from jax.experimental import multihost_utils
+                    return np.asarray(
+                        multihost_utils.process_allgather(l, tiled=True))
                 return np.asarray(l.addressable_data(0))
             return np.asarray(l)
         return jax.tree_util.tree_unflatten(
@@ -85,9 +87,13 @@ def _to_host(tree):
 
 def save_checkpoint(weights_dir, train_state, state_dict: dict,
                     name_suffix: str | None = None):
-    """Save all components of a TrainState under the run's weights dir."""
+    """Save all components of a TrainState under the run's weights dir.
+
+    Multi-process: EVERY process must call this — TP-sharded leaves are
+    allgathered to the host through a global program in ``_to_host`` —
+    but only process 0 touches the filesystem.
+    """
     weights_dir = pathlib.Path(weights_dir)
-    weights_dir.mkdir(parents=True, exist_ok=True)
     components = {
         "G": {"params": train_state.params_G, "state": train_state.state_G},
         "D": {"params": train_state.params_D, "state": train_state.state_D},
@@ -96,9 +102,13 @@ def save_checkpoint(weights_dir, train_state, state_dict: dict,
         "G_ema": {"params": train_state.params_G_ema,
                   "state": train_state.state_G_ema},
     }
-    for base, tree in components.items():
+    host = {base: _to_host(tree) for base, tree in components.items()}
+    if jax.process_index() != 0:
+        return
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    for base, tree in host.items():
         path = weights_dir / f"{_join(name_suffix, base)}.msgpack"
-        _atomic_write(path, serialization.to_bytes(_to_host(tree)))
+        _atomic_write(path, serialization.to_bytes(tree))
     sd = dict(state_dict)
     sd["itr"] = int(train_state.itr)
     _atomic_write(weights_dir / f"{_join(name_suffix, 'state_dict')}.json",

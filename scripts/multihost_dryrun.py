@@ -103,6 +103,26 @@ def child(args) -> None:
     print("METRICS " + " ".join(f"{k}={vals[k]:.6f}" for k in sorted(vals)),
           flush=True)
 
+    if args.ckpt_dir:
+        # TP multi-host checkpoint: a cooperative save (every process
+        # enters; TP-sharded leaves allgather across PROCESS boundaries,
+        # not just local devices) followed by a process-0 reload + compare.
+        from ieagan_tpu.utils import save_checkpoint, load_checkpoint
+        from ieagan_tpu.utils.checkpoint import _to_host
+        save_checkpoint(args.ckpt_dir, new_state, {"epoch": 0}, "copy1")
+        # both processes gather the global param values (global programs —
+        # must run everywhere), then process 0 checks the written file
+        gathered = _to_host({"params": new_state.params_G})["params"]
+        if args.proc_id == 0:
+            fresh = init_train_state(G, D, config, jax.random.PRNGKey(9))
+            restored, _ = load_checkpoint(args.ckpt_dir, fresh, "copy1")
+            a = jax.tree_util.tree_leaves(gathered)
+            b = jax.tree_util.tree_leaves(restored.params_G)
+            ok = (len(a) == len(b) and all(
+                np.array_equal(np.asarray(x), np.asarray(y))
+                for x, y in zip(a, b)))
+            print("CKPT_OK" if ok else "CKPT_MISMATCH", flush=True)
+
 
 def parent_driver(args) -> int:
     """Launch N ``train.py`` CLI processes as a pod would and check the
@@ -184,17 +204,21 @@ def parent(args) -> int:
     with socket.socket() as s:  # pick a free coordinator port
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
+    import tempfile
+    ckpt_dir = tempfile.mkdtemp(prefix="mh_ckpt_")
     procs = []
     for i in range(args.nprocs):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--proc-id", str(i), "--port", str(port),
              "--nprocs", str(args.nprocs),
-             "--devices-per-proc", str(args.devices_per_proc)],
+             "--devices-per-proc", str(args.devices_per_proc),
+             "--ckpt-dir", ckpt_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=dict(os.environ, PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))))
     lines = []
     ok = True
+    ckpt_ok = False
     for i, p in enumerate(procs):
         try:
             out, _ = p.communicate(timeout=1200)
@@ -212,12 +236,20 @@ def parent(args) -> int:
             ok = False
         else:
             lines.append(metric_lines[0])
+        if i == 0 and "CKPT_OK" in out:
+            ckpt_ok = True
+    import shutil
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
     if ok and len(set(lines)) != 1:
         print(f"processes disagree:\n" + "\n".join(lines))
         ok = False
+    if ok and not ckpt_ok:
+        print("TP multi-host checkpoint round-trip FAILED (no CKPT_OK)")
+        ok = False
     if ok:
         print(f"multihost_dryrun OK: {args.nprocs} processes x "
-              f"{args.devices_per_proc} devices agree -> {lines[0]}")
+              f"{args.devices_per_proc} devices agree -> {lines[0]}; "
+              "TP allgather checkpoint round-trip OK")
     return 0 if ok else 1
 
 
@@ -229,6 +261,9 @@ def main():
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--driver", action="store_true",
                     help="exercise the full train.py CLI per process")
+    ap.add_argument("--ckpt-dir", type=str, default=None,
+                    help="if set, children run a cooperative TP "
+                         "checkpoint save + round-trip check here")
     args = ap.parse_args()
     if args.proc_id is None:
         sys.exit(parent_driver(args) if args.driver else parent(args))
