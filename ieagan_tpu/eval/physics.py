@@ -50,8 +50,17 @@ class EventStats:
         self.intensity_hist += np.histogram(imgs.ravel(), INTENSITY_BINS)[0]
         occ_per_img = mask.mean(axis=(1, 2))
         self.occupancy_hist += np.histogram(occ_per_img, OCCUPANCY_BINS)[0]
-        denom = np.maximum(mask.sum(axis=(1, 2)), 1)
-        self.mean_charges.append(np.where(imgs > 0, imgs, 0).sum(axis=(1, 2)) / denom)
+        # per-event per-sensor mean charge = sum/count over above-threshold
+        # pixels (reference: eval_all.py:92-96). A sensor with zero such
+        # pixels yields NaN for this event and is EXCLUDED from the summary
+        # average via nanmean — the reference propagates the NaN outright,
+        # and clamping the denominator (old behavior) silently biased such
+        # sensors toward 0.
+        count = mask.sum(axis=(1, 2)).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            self.mean_charges.append(
+                np.where(mask, imgs, 0).sum(axis=(1, 2))
+                / np.where(count > 0, count, np.nan))
         self.occupancies.append(occ_per_img)
         self.n_events += 1
 
@@ -61,7 +70,9 @@ class EventStats:
             "intensity_bins": INTENSITY_BINS,
             "occupancy_hist": self.occupancy_hist,
             "occupancy_bins": OCCUPANCY_BINS,
-            "per_sensor_mean_charge": np.mean(self.mean_charges, axis=0),
+            # nanmean: events where a sensor had zero above-threshold pixels
+            # don't contribute to that sensor's mean (see update())
+            "per_sensor_mean_charge": np.nanmean(self.mean_charges, axis=0),
             "per_sensor_occupancy": np.mean(self.occupancies, axis=0),
             "n_events": self.n_events,
         }

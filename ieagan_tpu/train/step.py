@@ -82,8 +82,13 @@ def init_train_state(G, D, config, rng) -> TrainState:
             state_G=state_G, state_D=state_D,
             opt_G=g_tx.init(params_G), opt_D=d_tx.init(params_D),
             # EMA starts as a *copy* of the source params (reference:
-            # utils/__init__.py:817-821); distinct buffers also keep jit
-            # donation sound (jit outputs get distinct result buffers).
+            # utils/__init__.py:817-821). The copies are also relied on to
+            # keep the donated train step sound: ema leaves must not alias
+            # params_G leaves. XLA does not *document* that identical jit
+            # root outputs get distinct buffers — this is backend-verified
+            # behavior (axon TPU + XLA:CPU), guarded by
+            # test_driver.py::test_ema_survives_donated_step so a future
+            # backend/XLA change fails loudly.
             params_G_ema=jax.tree_util.tree_map(jnp.copy, params_G),
             state_G_ema=jax.tree_util.tree_map(jnp.copy, state_G),
             itr=jnp.zeros((), jnp.int32))

@@ -26,6 +26,7 @@ def finished_run(tmp_path_factory):
     return root, cfg, state, state_dict
 
 
+@pytest.mark.quick
 def test_run_completes_and_logs(finished_run):
     root, cfg, state, state_dict = finished_run
     assert int(state.itr) == 3
@@ -39,6 +40,7 @@ def test_run_completes_and_logs(finished_run):
     assert svs
 
 
+@pytest.mark.quick
 def test_checkpoint_artifacts(finished_run):
     root, cfg, state, state_dict = finished_run
     weights = root / "t1" / "weights"
@@ -98,6 +100,48 @@ def test_create_gan_digits_from_driver_run_dir(finished_run, tmp_path,
     assert shards, "no npz shards produced"
     total = sum(int(np.load(s)["n_events"]) for s in shards)
     assert total == 2
+
+
+def test_ema_survives_donated_step():
+    """Guard for a backend-verified (not documented) XLA behavior: the
+    jnp.copy inside the jitted init (train/step.py _build) must give
+    params_G_ema buffers DISTINCT from params_G, or donating the TrainState
+    into the train step would corrupt the EMA in place. Fails loudly if a
+    future backend/XLA change starts aliasing identical jit outputs."""
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state
+    from ieagan_tpu.train.step import make_train_step
+
+    cfg = tiny_config(compute_dtype="float32", ema_start=0, num_G_steps=1)
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+
+    # 1) direct aliasing check on the freshly built state
+    for a, b in zip(jax.tree_util.tree_leaves(state.params_G),
+                    jax.tree_util.tree_leaves(state.params_G_ema)):
+        assert a.unsafe_buffer_pointer() != b.unsafe_buffer_pointer(), \
+            "params_G_ema aliases params_G — donation is unsound"
+
+    # 2) behavioral check: after one donated step the new EMA leaves are
+    # intact (finite and not all-zero garbage from a reused buffer)
+    ema_before = jax.tree_util.tree_map(
+        lambda l: np.array(l), state.params_G_ema)
+    step = jax.jit(make_train_step(G, D, cfg), donate_argnums=(0,))
+    epb = int(cfg["events_per_batch"])
+    es = int(cfg["n_classes"])
+    x = np.random.RandomState(0).randn(
+        epb * es, int(cfg["resolution"]),
+        int(cfg["resolution"]) * int(cfg["H_base"]), 1).astype(np.float32)
+    y = np.tile(np.arange(es, dtype=np.int32), epb)
+    new_state, _ = step(state, x, y, jax.random.PRNGKey(1))
+    for before, after in zip(
+            jax.tree_util.tree_leaves(ema_before),
+            jax.tree_util.tree_leaves(new_state.params_G_ema)):
+        after = np.asarray(after)
+        assert np.all(np.isfinite(after))
+        # decay<1 keeps the EMA near its previous value, never garbage
+        assert np.allclose(after, before, atol=2.0)
 
 
 def test_refuses_existing_run_dir(finished_run):

@@ -299,6 +299,27 @@ class TestPhysicsStats:
         assert log_transform_inv(np.array(1.0)) == pytest.approx(255.0)
         assert log_transform_inv(np.array(-1.0)) == pytest.approx(0.0)
 
+    def test_zero_count_events_excluded_from_mean_charge(self):
+        """A sensor with zero above-threshold pixels in some events must not
+        drag its mean charge toward 0 (reference eval_all.py:92-96 computes
+        per-event sum/count; zero-count events are excluded here rather than
+        propagating NaN)."""
+        from ieagan_tpu.eval import physics
+        acc = physics.EventStats()
+        ev_hot = np.zeros((2, 8, 8))
+        ev_hot[0, 0, 0] = 50.0   # sensor 0 fires with charge 50
+        ev_hot[1, :, :] = 20.0   # sensor 1 uniformly 20
+        ev_cold = np.zeros((2, 8, 8))
+        ev_cold[1, :, :] = 10.0  # sensor 0 silent this event
+        acc.update(ev_hot)
+        acc.update(ev_cold)
+        s = acc.summary()
+        # sensor 0: only the hot event counts -> exactly 50, not 25
+        assert s["per_sensor_mean_charge"][0] == pytest.approx(50.0)
+        assert s["per_sensor_mean_charge"][1] == pytest.approx(15.0)
+        # occupancy still averages over all events (unchanged semantics)
+        assert s["per_sensor_occupancy"][0] == pytest.approx(0.5 / 64)
+
 
 class TestKid:
     def test_compute_kid_folder_and_gen(self, tmp_path, monkeypatch):

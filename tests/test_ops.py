@@ -12,6 +12,7 @@ from ieagan_tpu.ops import diff_aug
 from ieagan_tpu import losses
 
 
+@pytest.mark.quick
 class TestImageNorm:
     def test_lognorm255_range(self):
         x = jnp.linspace(0.0, 1.0, 11)

@@ -27,6 +27,7 @@ def trained_once():
     return cfg, state, state1, state2, mets1, mets2
 
 
+@pytest.mark.quick
 def test_metrics_present_and_finite(trained_once):
     _, _, _, _, mets1, _ = trained_once
     for key in ["G_loss", "D_loss_real", "D_loss_fake", "unif_loss_d", "iea_loss"]:
