@@ -199,6 +199,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # a clean client exit is the only proven reclaim. False = in-process
     # (CPU runs, tests, multi-process drivers).
     "fid_subprocess": True,
+    # test_every companions: KID from the same feature pass as FID (needs
+    # the <dataset>_..._kid.npz bank), and physics-stats accumulation over N
+    # generated events (0 = off; pickle lands in the run dir). Subprocess
+    # eval path only (fid_subprocess=True).
+    "test_kid": False,
+    "test_physics_events": 0,
     # Reference quirk: G_D augments only the generator output — reals reach
     # D raw (model.py:972-982), handing D a trivial fake tell (cutout holes
     # / translation bands exist only on fakes) that saturates D on any

@@ -431,9 +431,24 @@ def run_test(G, state, state_dict, config, metrics_log):
         # cleanly is the one mechanism proven to return the memory
         # (bench.py phase isolation). Requires the checkpoint just saved
         # by save_and_sample (save_every | test_every).
-        fid = _run_fid_subprocess(state, state_dict, config)
-        if fid is None:
+        res = _run_fid_subprocess(state, state_dict, config)
+        if res is None:
             return
+        fid = float(res["fid"])
+        if is_main:
+            extras = {}
+            if "kid" in res:
+                extras["KID"] = float(res["kid"])
+                print(f"The KID score is {res['kid']}")
+            if "physics" in res:
+                p = res["physics"]
+                extras["phys_occupancy"] = p["mean_occupancy"]
+                extras["phys_mean_charge"] = p["mean_charge"]
+                print(f"physics @{p['n_events']}ev: occupancy="
+                      f"{p['mean_occupancy']:.5f} mean_charge="
+                      f"{p['mean_charge']:.2f} -> {p['pickle']}")
+            if extras:
+                metrics_log.log(itr=int(state_dict["itr"]), **extras)
     else:
         try:
             fid = compute_fid_from_state(G, state, config)
@@ -476,7 +491,8 @@ def run_test(G, state, state_dict, config, metrics_log):
 
 def _run_fid_subprocess(state, state_dict, config):
     """Run scripts/fid_eval_once.py on the latest saved checkpoint; returns
-    the FID, or None when the eval failed or no checkpoint exists yet."""
+    its result dict ({"fid": ..., optional "kid"/"physics"}), or None when
+    the eval failed or no checkpoint exists yet."""
     import os
     import subprocess
     import sys
@@ -499,9 +515,17 @@ def _run_fid_subprocess(state, state_dict, config):
     # many silent minutes, and an external staleness watchdog (e.g.
     # scripts/campaign_watchdog.sh) watching this process's log would kill a
     # healthy run — heartbeat the log while the eval is alive.
+    cmd = [sys.executable, script, "--run-dir", str(runpath), "--tag", tag]
+    # test_every companions (VERDICT r3 item 9): KID shares the FID feature
+    # pass; physics stats add generate-only work (config-gated, default off)
+    if bool(config.get("test_kid", False)):
+        cmd.append("--kid")
+    n_phys = int(config.get("test_physics_events", 0))
+    if n_phys > 0:
+        cmd += ["--physics-events", str(n_phys)]
     proc = subprocess.Popen(
-        [sys.executable, script, "--run-dir", str(runpath), "--tag", tag],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
     t0 = time.time()
     while True:
         try:
@@ -527,4 +551,4 @@ def _run_fid_subprocess(state, state_dict, config):
         return None
     print(f"FID eval ({res['tag']}): nonzero_frac="
           f"{res.get('nonzero_frac', -1):.5f}")
-    return float(res["fid"])
+    return res

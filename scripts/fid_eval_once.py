@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--run-dir", required=True)
     ap.add_argument("--tag", required=True)
     ap.add_argument("--num-gen", type=int, default=None)
+    ap.add_argument("--kid", action="store_true",
+                    help="also compute KID from the SAME generated features "
+                         "(needs <dataset>_<mode>_custom_na_kid.npz stats)")
+    ap.add_argument("--physics-events", type=int, default=0,
+                    help="also accumulate physics stats over N generated "
+                         "events; summary pickled next to the weights dir")
     args = ap.parse_args()
 
     cfgs = sorted(glob.glob(os.path.join(args.run_dir, "*_config.json")))
@@ -45,6 +51,11 @@ def main():
         config["num_incep_images"] = args.num_gen
 
     import jax
+    if os.environ.get("IEAGAN_FORCE_CPU"):
+        # tests drive this subprocess while the real chip may be training;
+        # the JAX_PLATFORMS env var is overridden by the axon plugin, the
+        # config.update is not
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("IEAGAN_CACHE_DIR",
                                      os.path.join(REPO, ".jax_cache")))
@@ -89,17 +100,56 @@ def main():
     adu = np.asarray(denorm(jnp.asarray(sample)))
     nonzero = float((adu >= 0.5).mean())
 
-    fid = fid_mod.compute_fid(
-        gen,
-        dataset_name=config.get("fid_dataset_name", "pxd_sim_test_com"),
+    dataset_name = config.get("fid_dataset_name", "pxd_sim_test_com")
+    mode = config.get("fid_mode", "clean")
+    common = dict(
+        dataset_name=dataset_name,
         num_gen=int(config.get("num_incep_images", 16000)),
         batch_size=es * int(config.get("events_per_batch", 1)),
         rng=jax.random.PRNGKey(int(config.get("seed", 0))),
         extractor=fid_mod.default_extractor(config),
-        moments_on_device=bool(config.get("fid_moments_on_device", True)),
-        mode=config.get("fid_mode", "clean"))
-    print(json.dumps({"fid": float(fid), "nonzero_frac": nonzero,
-                      "tag": args.tag}))
+        mode=mode)
+    out = {"nonzero_frac": nonzero, "tag": args.tag}
+    if args.kid:
+        # one feature pass serves both metrics: FID from host f64 moments
+        # (pinned equivalent to the on-device accumulate), KID from the raw
+        # features vs the stored real-feature bank
+        fid, feats = fid_mod.compute_fid(gen, return_features=True, **common)
+        kid_path = fid_mod._stats_path(dataset_name, mode).replace(
+            ".npz", "_kid.npz")
+        if os.path.exists(kid_path):
+            ref_feats = np.load(kid_path)["feats"]
+            out["kid"] = float(fid_mod.kernel_distance(
+                feats, ref_feats, seed=int(config.get("seed", 0))))
+        else:
+            print(f"# KID stats {kid_path} missing; skipping KID",
+                  file=sys.stderr)
+    else:
+        fid = fid_mod.compute_fid(
+            gen,
+            moments_on_device=bool(config.get("fid_moments_on_device", True)),
+            **common)
+    out["fid"] = float(fid)
+    if args.physics_events > 0:
+        from ieagan_tpu.eval import physics
+        stream = physics.generate_event_stream(
+            G, tree["params"], tree["state"], config,
+            seed=int(config.get("seed", 0)))
+        stats = physics.get_stats(stream, n_events=args.physics_events)
+        import pickle
+        ppath = os.path.join(args.run_dir,
+                             f"physics_{args.tag}_{args.physics_events}ev.pickle")
+        with open(ppath, "wb") as fp:
+            pickle.dump(stats, fp)
+        occ = stats["per_sensor_occupancy"]
+        chg = stats["per_sensor_mean_charge"]
+        out["physics"] = {
+            "n_events": int(stats["n_events"]),
+            "mean_occupancy": float(np.mean(occ)),
+            "mean_charge": float(np.nanmean(chg)),
+            "pickle": ppath,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

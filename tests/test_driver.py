@@ -144,6 +144,57 @@ def test_ema_survives_donated_step():
         assert np.allclose(after, before, atol=2.0)
 
 
+def test_fid_eval_once_kid_physics_subprocess(finished_run, tmp_path):
+    """The subprocess eval path with the test_every companions: one feature
+    pass yields FID + KID, and --physics-events pickles stats in the run dir
+    (driver config keys test_kid / test_physics_events)."""
+    import subprocess
+    import sys
+
+    root, cfg, state, state_dict = finished_run
+    run_dir = root / "t1"
+    stats = tmp_path / "stats"
+    stats.mkdir()
+    from ieagan_tpu.eval.fid import (make_generator_fn, get_model_features,
+                                     FeatureExtractor)
+    extractor = FeatureExtractor(seed=0)
+    gen = make_generator_fn(
+        __import__("ieagan_tpu.models", fromlist=["Generator"])
+        .Generator.from_config(cfg),
+        state.params_G_ema, state.state_G_ema, cfg)
+    feats = get_model_features(
+        gen, extractor, num_gen=8,
+        batch_size=cfg["n_classes"] * cfg["events_per_batch"],
+        rng=jax.random.PRNGKey(9))
+    np.savez_compressed(stats / "tinyfid_clean_custom_na.npz",
+                        mu=feats.mean(0), sigma=np.cov(feats, rowvar=False))
+    np.savez_compressed(stats / "tinyfid_clean_custom_na_kid.npz",
+                        feats=feats)
+    # a config overlay the script will pick up (sorted()[-1])
+    sub_cfg = dict(cfg, fid_dataset_name="tinyfid", num_incep_images=8)
+    (run_dir / "zz_config.json").write_text(json.dumps(sub_cfg))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, IEAGAN_FORCE_CPU="1",
+               IEAGAN_STATS_DIR=str(stats),
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "fid_eval_once.py"),
+         "--run-dir", str(run_dir), "--tag", "copy3",
+         "--kid", "--physics-events", "2"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=1200)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert np.isfinite(res["fid"])
+    assert "kid" in res and np.isfinite(res["kid"])
+    phys = res["physics"]
+    assert phys["n_events"] == 2
+    assert os.path.exists(phys["pickle"])
+    import pickle
+    with open(phys["pickle"], "rb") as fp:
+        s = pickle.load(fp)
+    assert s["per_sensor_occupancy"].shape == (cfg["n_classes"],)
+
+
 def test_refuses_existing_run_dir(finished_run):
     root, cfg, *_ = finished_run
     cfg2 = dict(cfg, resume=False)
