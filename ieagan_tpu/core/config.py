@@ -190,6 +190,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # where activation bytes concentrate, at a fraction of full remat's
     # recompute.
     "remat": False,
+    # Per-model remat overrides (None = inherit "remat"). The measured
+    # sweet spot for lane-multiple batches (epb=3 -> B=120 -> one 128-lane
+    # tile) is rematting only D: G's decoder recompute doubles the most
+    # bandwidth-expensive activations while D's is cheap relative to its
+    # backward (BASELINE.md r3/r4 lever table).
+    "remat_G": None,
+    "remat_D": None,
     # Reference quirk §2.4.1: G.optim.step() was gated on clip_norm; we step
     # G unconditionally. Set True to reproduce the reference bug exactly.
     "replicate_G_step_bug": False,

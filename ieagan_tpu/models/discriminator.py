@@ -124,7 +124,9 @@ class Discriminator(nn.Module):
         if dtype is not None:
             kwargs["dtype"] = dtype
         kwargs["use_pallas"] = bool(config.get("use_pallas_attention", False))
-        r = config.get("remat", False)
+        r = config.get("remat_D")
+        if r is None:
+            r = config.get("remat", False)
         kwargs["remat"] = r if isinstance(r, str) else bool(r)
         return cls(**kwargs)
 

@@ -39,6 +39,13 @@ VARIANTS = {
     "epb3w": dict(events_per_batch=3, remat="wide"),
     "epb3rc": dict(events_per_batch=3, remat=True, split_D=False),
     "epb2c": dict(events_per_batch=2, remat=False, split_D=False),
+    # per-model remat split (config remat_G/remat_D, round 4): the VERDICT
+    # lever "D-only remat at lane-multiple batches"
+    "epb3dw": dict(events_per_batch=3, remat_D="wide"),
+    "epb3dr": dict(events_per_batch=3, remat_D=True),
+    "epb3dr_gw": dict(events_per_batch=3, remat_D=True, remat_G="wide"),
+    "epb3gr": dict(events_per_batch=3, remat_G=True),
+    "epb3gr_dw": dict(events_per_batch=3, remat_G=True, remat_D="wide"),
 }
 
 

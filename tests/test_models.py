@@ -224,3 +224,14 @@ def test_remat_modes_share_math_and_params():
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
     for a, b in zip(grads[0], grads[2]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_per_model_overrides():
+    """remat_G / remat_D override the shared key per model; None inherits
+    (the D-only-"wide" lever for lane-multiple batches, core/config.py)."""
+    cfg = tiny_config(remat=True, remat_D="wide")
+    assert Generator.from_config(cfg).remat is True
+    assert Discriminator.from_config(cfg).remat == "wide"
+    cfg = tiny_config(remat_G="wide")  # remat unset -> False
+    assert Generator.from_config(cfg).remat == "wide"
+    assert Discriminator.from_config(cfg).remat is False
