@@ -48,7 +48,13 @@ def main():
     ap.add_argument("--model", action="append", default=[],
                     help="NAME:weights_dir (repeatable)")
     ap.add_argument("--dataroot", default=None)
-    ap.add_argument("--n-events", type=int, default=100)
+    ap.add_argument("--n-events", type=int, default=100,
+                    help="generated events per model (reference scale: 10k, "
+                         "eval_all.py:101,138)")
+    ap.add_argument("--n-events-real", type=int, default=None,
+                    help="real events (default: --n-events; the synthetic "
+                         "test split holds 400 — the real stream stops at "
+                         "dataset size)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (e.g. when the tunneled "
@@ -64,8 +70,9 @@ def main():
 
     all_stats = {}
     if args.dataroot:
+        n_real = args.n_events_real or args.n_events
         all_stats["real"] = physics.get_stats(
-            physics.real_event_stream(args.dataroot, args.seed), args.n_events)
+            physics.real_event_stream(args.dataroot, args.seed), n_real)
     for spec in args.model:
         name, _, weights_dir = spec.partition(":")
         model = load_model(name, weights_dir)

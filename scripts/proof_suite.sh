@@ -24,10 +24,12 @@ echo "== device-f32 vs host-f64 FID moments @16k =="
 python scripts/moments_check.py --run-dir "$RUN" --tag "$TAG" --num 16000 \
     | tee "$OUT/moments.json"
 
-echo "== physics stats (real 400 test events vs generated) =="
+echo "== physics stats (10k generated events vs all 400 real test events) =="
+# generated at the reference's 10k-event scale (eval_all.py:101,138); the
+# real side is capped by the synthetic test split (400 events)
 python scripts/eval_all.py --out "$OUT/physics.pickle" \
     --model "IEAGAN:$RUN/weights/G_ema_${TAG}.msgpack" \
-    --dataroot _local/synv2/test --n-events 400
+    --dataroot _local/synv2/test --n-events 10000 --n-events-real 400
 
 python scripts/plot_physics.py "$OUT/physics.pickle" --out "$OUT/figures"
 echo "proof suite artifacts in $OUT"

@@ -299,6 +299,36 @@ class TestPhysicsStats:
         assert log_transform_inv(np.array(1.0)) == pytest.approx(255.0)
         assert log_transform_inv(np.array(-1.0)) == pytest.approx(0.0)
 
+    def test_generate_event_stream_scan_blocked(self):
+        """The scan-blocked stream (events_per_call>1) yields per-event
+        noise-cut cropped ADU with the same contract as one-per-call, and
+        is deterministic in the seed."""
+        from ieagan_tpu.eval import physics
+        from ieagan_tpu.models import Generator
+        from tests.helpers import tiny_config
+        cfg = tiny_config()
+        G = Generator.from_config(cfg)
+        es, h, w = cfg["n_classes"], cfg["resolution"], \
+            cfg["resolution"] * cfg["H_base"]
+        gv = G.init({"params": jax.random.PRNGKey(0),
+                     "rdof": jax.random.PRNGKey(1)},
+                    jnp.zeros((es, cfg["dim_z"])), jnp.arange(es),
+                    train=False)
+        params = gv["params"]
+        state = {k: v for k, v in gv.items() if k != "params"}
+        s1 = physics.generate_event_stream(G, params, state, cfg, seed=3,
+                                           events_per_call=4)
+        evs = [next(s1) for _ in range(5)]
+        for adu, labels in evs:
+            assert adu.shape == (es, h - 6, w)
+            assert ((adu == 0) | (adu >= physics.THRESHOLD)).all()
+            assert (labels == np.arange(es)).all()
+        # distinct events, deterministic in seed
+        assert not np.array_equal(evs[0][0], evs[1][0])
+        s2 = physics.generate_event_stream(G, params, state, cfg, seed=3,
+                                           events_per_call=4)
+        np.testing.assert_array_equal(evs[0][0], next(s2)[0])
+
     def test_zero_count_events_excluded_from_mean_charge(self):
         """A sensor with zero above-threshold pixels in some events must not
         drag its mean charge toward 0 (reference eval_all.py:92-96 computes
