@@ -124,6 +124,85 @@ def generate_event_stream(G, params, state, config, seed: int = 0,
             yield ev, labels
 
 
+def generate_stats(G, params, state, config, n_events: int, seed: int = 0,
+                   events_per_call: int = 8) -> dict:
+    """EventStats computed with the reductions ON DEVICE (reference
+    protocol: Evaluation/eval_all.py:75-120 at 10k events).
+
+    `get_stats(generate_event_stream(...))` materializes every ADU event on
+    host — at flagship scale that is ~245 MB per 8-event dispatch, and over
+    a network-attached chip the 10k-event protocol becomes tunnel-bound
+    (hours of socket wait for ~3 minutes of MXU time). Here the intensity
+    histogram, above-threshold pixel counts, and charge sums are computed
+    inside the same jitted scan that generates the events, so only
+    ~KB-sized per-event reductions cross the wire.
+
+    Numerics match the host path exactly for the histograms (identical f32
+    ADU values, integer-exact bin edges; occupancies are derived from the
+    integer counts on host in f64) and to f32-accumulation rounding for the
+    charge sums. Seed/key scheduling mirrors generate_event_stream, so the
+    same seed evaluates the same events (tests/test_eval.py parity test).
+    """
+    es = int(config["n_classes"])
+    dim_z = int(config["dim_z"])
+    epc = max(1, int(events_per_call))
+    ibins = jnp.asarray(INTENSITY_BINS, jnp.float32)
+
+    @jax.jit
+    def stats_block(key):
+        def one(carry, k):
+            kz, kr = jax.random.split(k)
+            z = jax.random.normal(kz, (es, dim_z))
+            y = jnp.arange(es, dtype=jnp.int32)
+            imgs = G.apply({"params": params, **state}, z, y, train=False,
+                           rngs={"rdof": kr}).astype(jnp.float32)
+            adu = jnp.exp(jnp.log(256.0) * 0.5 * (imgs[..., 0] + 1.0)) - 1.0
+            adu = jnp.where(adu < THRESHOLD, 0.0, adu)
+            adu = adu[:, 3:-3, :]
+            mask = adu > 0
+            # per-event histogram (not carry-accumulated): the tail block
+            # of a non-multiple n_events must be trimmable on host
+            hist = jnp.histogram(adu.ravel(), ibins)[0].astype(jnp.int32)
+            cnt = mask.sum(axis=(1, 2)).astype(jnp.int32)   # (es,)
+            csum = adu.sum(axis=(1, 2))                      # (es,) f32
+            return carry, (hist, cnt, csum)
+        _, out = jax.lax.scan(one, 0, jax.random.split(key, epc))
+        return out  # hist (epc, nbins), cnt (epc, es), csum (epc, es)
+
+    n_pix = None
+    intensity_hist = np.zeros(len(INTENSITY_BINS) - 1, np.int64)
+    cnts, csums = [], []
+    key = jax.random.PRNGKey(seed)
+    done = 0
+    while done < n_events:
+        key, sub = jax.random.split(key)
+        hist, cnt, csum = jax.device_get(stats_block(sub))
+        take = min(epc, n_events - done)
+        intensity_hist += hist[:take].astype(np.int64).sum(axis=0)
+        cnts.append(cnt[:take])
+        csums.append(csum[:take])
+        done += take
+        if n_pix is None:
+            h = int(config["resolution"]) - 6
+            w = int(config["resolution"]) * int(config["H_base"])
+            n_pix = h * w
+    cnt = np.concatenate(cnts).astype(np.float64)    # (n_events, es)
+    csum = np.concatenate(csums).astype(np.float64)  # (n_events, es)
+    occ = cnt / n_pix  # f64 from exact integer counts == host mask.mean
+    occupancy_hist = np.histogram(occ.ravel(), OCCUPANCY_BINS)[0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_charges = csum / np.where(cnt > 0, cnt, np.nan)
+    return {
+        "intensity_hist": intensity_hist,
+        "intensity_bins": INTENSITY_BINS,
+        "occupancy_hist": occupancy_hist,
+        "occupancy_bins": OCCUPANCY_BINS,
+        "per_sensor_mean_charge": np.nanmean(mean_charges, axis=0),
+        "per_sensor_occupancy": np.mean(occ, axis=0),
+        "n_events": int(done),
+    }
+
+
 def real_event_stream(dataroot: str, seed: int = 0):
     """ADU event stream from a real dataset directory (the tf.data analog of
     Evaluation/dataset.py)."""

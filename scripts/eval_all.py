@@ -60,6 +60,11 @@ def main():
                     help="force the CPU backend (e.g. when the tunneled "
                          "chip is down); flagship generate is ~2-3 "
                          "min/event there — budget n-events accordingly")
+    ap.add_argument("--host-stats", action="store_true",
+                    help="pull full ADU events to host and accumulate "
+                         "there (the oracle path; default is on-device "
+                         "reductions — over a network-attached chip the "
+                         "host path is tunnel-bound at 10k events)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -76,9 +81,15 @@ def main():
     for spec in args.model:
         name, _, weights_dir = spec.partition(":")
         model = load_model(name, weights_dir)
-        stream = physics.generate_event_stream(
-            model.module, model.params, model.state, model.config, args.seed)
-        all_stats[name] = physics.get_stats(stream, args.n_events)
+        if args.host_stats:
+            stream = physics.generate_event_stream(
+                model.module, model.params, model.state, model.config,
+                args.seed)
+            all_stats[name] = physics.get_stats(stream, args.n_events)
+        else:
+            all_stats[name] = physics.generate_stats(
+                model.module, model.params, model.state, model.config,
+                args.n_events, args.seed)
         print(f"{name}: occupancy mean "
               f"{all_stats[name]['per_sensor_occupancy'].mean():.5f}")
 

@@ -329,6 +329,42 @@ class TestPhysicsStats:
                                            events_per_call=4)
         np.testing.assert_array_equal(evs[0][0], next(s2)[0])
 
+    def test_device_stats_match_host_path(self):
+        """generate_stats (on-device reductions) must reproduce
+        get_stats(generate_event_stream(...)) for the same seed — exact
+        histograms (identical f32 ADU, integer-exact bin edges, counts
+        divided on host in f64) and f32-rounding-tolerant mean charge.
+        Uses n_events not a multiple of events_per_call to exercise the
+        tail-block trim."""
+        from ieagan_tpu.eval import physics
+        from ieagan_tpu.models import Generator
+        from tests.helpers import tiny_config
+        cfg = tiny_config()
+        G = Generator.from_config(cfg)
+        es = cfg["n_classes"]
+        gv = G.init({"params": jax.random.PRNGKey(0),
+                     "rdof": jax.random.PRNGKey(1)},
+                    jnp.zeros((es, cfg["dim_z"])), jnp.arange(es),
+                    train=False)
+        params = gv["params"]
+        state = {k: v for k, v in gv.items() if k != "params"}
+        host = physics.get_stats(
+            physics.generate_event_stream(G, params, state, cfg, seed=3,
+                                          events_per_call=4), n_events=6)
+        dev = physics.generate_stats(G, params, state, cfg, n_events=6,
+                                     seed=3, events_per_call=4)
+        assert dev["n_events"] == host["n_events"] == 6
+        np.testing.assert_array_equal(dev["intensity_hist"],
+                                      host["intensity_hist"])
+        np.testing.assert_array_equal(dev["occupancy_hist"],
+                                      host["occupancy_hist"])
+        np.testing.assert_allclose(dev["per_sensor_occupancy"],
+                                   host["per_sensor_occupancy"], rtol=0,
+                                   atol=0)
+        np.testing.assert_allclose(dev["per_sensor_mean_charge"],
+                                   host["per_sensor_mean_charge"],
+                                   rtol=1e-5, equal_nan=True)
+
     def test_zero_count_events_excluded_from_mean_charge(self):
         """A sensor with zero above-threshold pixels in some events must not
         drag its mean charge toward 0 (reference eval_all.py:92-96 computes
