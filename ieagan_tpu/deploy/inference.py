@@ -88,7 +88,8 @@ class Model:
     """
 
     def __init__(self, config: dict | None = None, params=None, state=None,
-                 seed: int = 0, dtype: Any = jnp.float32):
+                 seed: int = 0, dtype: Any = jnp.float32,
+                 _abstract: bool = False):
         self.config = dict(FROZEN_CONFIG)
         if config:
             self.config.update(config)
@@ -97,9 +98,18 @@ class Model:
         if params is None:
             z = jnp.zeros((self.event_size, self.config["dim_z"]), jnp.float32)
             y = jnp.arange(self.event_size, dtype=jnp.int32)
-            variables = self.module.init(
-                {"params": jax.random.PRNGKey(seed),
-                 "rdof": jax.random.PRNGKey(seed + 1)}, z, y, train=False)
+
+            def _init():
+                return self.module.init(
+                    {"params": jax.random.PRNGKey(seed),
+                     "rdof": jax.random.PRNGKey(seed + 1)}, z, y, train=False)
+
+            # jit (one compiled dispatch) vs eager init: the unjitted
+            # flagship init runs hundreds of per-op round trips over the
+            # network-attached chip (minutes). restore()/from_torch() only
+            # need the tree STRUCTURE as a deserialization target, so they
+            # trace with eval_shape — zero device work.
+            variables = jax.eval_shape(_init) if _abstract else jax.jit(_init)()
             params = variables["params"]
             state = {k: v for k, v in variables.items() if k != "params"}
         self.params = params
@@ -113,7 +123,7 @@ class Model:
         G_ema/G + latest copy tag, or an explicit ``tag`` like "best0")
         or a single G*.msgpack file."""
         from flax import serialization
-        model = cls(config=config, dtype=dtype)
+        model = cls(config=config, dtype=dtype, _abstract=True)
         path = resolve_generator_checkpoint(weights_path, tag=tag,
                                             use_ema=use_ema)
         with open(path, "rb") as fp:

@@ -78,7 +78,10 @@ class FeatureExtractor:
             # Deterministic random-projection fallback (finetuned blob is
             # a missing LFS artifact upstream; see eval/inception.py).
             x = jnp.zeros((1, 299, 299, 3), jnp.float32)
-            self.params = self.model.init(jax.random.PRNGKey(seed), x)["params"]
+            # jitted: eager flagship-size init is hundreds of tunnel
+            # round-trips on a network-attached chip
+            self.params = jax.jit(
+                lambda: self.model.init(jax.random.PRNGKey(seed), x))()["params"]
             self.source = f"random-init(seed={seed})"
         self._apply = _shared_inception_apply(dtype)
 
@@ -98,7 +101,9 @@ class FeatureExtractor:
             # flax params from scripts/finetune_inception.py
             from flax import serialization
             x = jnp.zeros((1, 299, 299, 3), jnp.float32)
-            template = self.model.init(jax.random.PRNGKey(0), x)["params"]
+            # structure-only deserialization target: no device work
+            template = jax.eval_shape(
+                lambda: self.model.init(jax.random.PRNGKey(0), x))["params"]
             with open(path, "rb") as fp:
                 return serialization.from_bytes(template, fp.read())
         import torch

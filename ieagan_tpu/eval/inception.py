@@ -193,7 +193,9 @@ class InceptionV3Features(nn.Module):
 def init_feature_params(seed: int = 0):
     model = InceptionV3Features()
     x = jnp.zeros((1, 299, 299, 3), jnp.float32)
-    return model, model.init(jax.random.PRNGKey(seed), x)["params"]
+    # jitted: one dispatch instead of per-op round trips over the tunnel
+    return model, jax.jit(
+        lambda: model.init(jax.random.PRNGKey(seed), x))()["params"]
 
 
 def convert_torch_state_dict(sd: dict) -> dict:
