@@ -241,6 +241,8 @@ def phase_train() -> dict:
 
     BENCH_TRAIN_REMAT: "1"/"true" -> remat every block, "wide" -> remat
     only the two highest-resolution stages (models/generator.py:116-119).
+    BENCH_TRAIN_REMAT_G / BENCH_TRAIN_REMAT_D: per-model overrides
+    ("0" -> off) for the D-only-remat lane-fill lever.
     BENCH_TRAIN_EPB: events_per_batch override (step-time/HBM variants)."""
     _setup_jax()
     from ieagan_tpu.core.config import DEFAULT_CONFIG
@@ -249,6 +251,11 @@ def phase_train() -> dict:
     remat_env = os.environ.get("BENCH_TRAIN_REMAT")
     if remat_env:
         config["remat"] = remat_env if remat_env == "wide" else True
+    for model_key in ("G", "D"):
+        v = os.environ.get(f"BENCH_TRAIN_REMAT_{model_key}")
+        if v:
+            config[f"remat_{model_key}"] = (
+                False if v == "0" else v if v == "wide" else True)
     if os.environ.get("BENCH_TRAIN_EPB"):
         config["events_per_batch"] = int(os.environ["BENCH_TRAIN_EPB"])
     extra = bench_train(config)

@@ -185,15 +185,22 @@ def generate_stats(G, params, state, config, n_events: int, seed: int = 0,
         _, out = jax.lax.scan(one, 0, jax.random.split(key, epc))
         return out  # hist (epc, nbins), cnt (epc, es), csum (epc, es)
 
+    import sys
+    import time
     n_pix = None
     intensity_hist = np.zeros(len(INTENSITY_BINS) - 1, np.int64)
     cnts, csums = [], []
     key = jax.random.PRNGKey(seed)
     done = 0
+    t0 = time.time()
     while done < n_events:
         key, sub = jax.random.split(key)
         hist, cnt, csum = jax.device_get(stats_block(sub))
         take = min(epc, n_events - done)
+        if done and done % (50 * epc) < epc:
+            print(f"[generate_stats] {done}/{n_events} events "
+                  f"({done / (time.time() - t0):.1f} ev/s)",
+                  file=sys.stderr, flush=True)
         intensity_hist += hist[:take].astype(np.int64).sum(axis=0)
         cnts.append(cnt[:take])
         csums.append(csum[:take])
