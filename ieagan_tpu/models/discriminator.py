@@ -144,9 +144,27 @@ class Discriminator(nn.Module):
         which_linear = functools.partial(SNDense, **sn_kw)
         which_embedding = functools.partial(SNEmbed, **sn_kw)
 
-        h = which_conv(arch["in_channels"][0], kernel_size=(3, 3),
-                       name="input_conv")(x.astype(self.dtype),
-                                          update_stats=update_stats)
+        def _stem(mdl, xin, update_stats):
+            # input_conv + the first block as ONE remat segment: with them
+            # remat'd separately, the saved residual is input_conv's
+            # 32-channel map — the single largest allocation in the epb=3
+            # OOM dump (1.41GiB per D pass at batch 120, saved twice under
+            # split_D). Folded, the residual is the 1-channel image (47MB).
+            h = which_conv(arch["in_channels"][0], kernel_size=(3, 3),
+                           name="input_conv")(xin, update_stats=update_stats)
+            return DBlock(in_channels=arch["in_channels"][0],
+                          out_channels=arch["out_channels"][0],
+                          which_conv=which_conv, activation=act,
+                          preactivation=False,
+                          downsample=arch["downsample"][0],
+                          name="blocks_0_0")(h, update_stats)
+
+        fold_stem = bool(self.remat)  # True and "wide" both remat stage 0
+        if fold_stem:
+            h = nn.remat(_stem, static_argnums=(2,))(
+                self, x.astype(self.dtype), update_stats)
+        else:
+            h = _stem(self, x.astype(self.dtype), update_stats)
         remat_cls = nn.remat(DBlock, static_argnums=(2,))
         for index in range(len(arch["out_channels"])):
             if self.remat == "wide":
@@ -154,6 +172,8 @@ class Discriminator(nn.Module):
             else:
                 block_cls = remat_cls if self.remat else DBlock
             for d_index in range(self.D_depth):
+                if index == 0 and d_index == 0:
+                    continue  # folded into _stem above
                 h = block_cls(
                     in_channels=(arch["in_channels"][index] if d_index == 0
                                  else arch["out_channels"][index]),

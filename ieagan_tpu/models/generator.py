@@ -221,12 +221,55 @@ class Generator(nn.Module):
         remat_cls = nn.remat(GBlock, static_argnums=(3, 4, 5))
         n_stages = len(arch["out_channels"])
         blk_args = (train, update_stats, accumulate_standing)
+
+        def _attention(h, index):
+            ch_out = arch["out_channels"][index]
+            if self.attn_type == "sa":
+                return SelfAttention2d(ch_out, which_conv, dtype=self.dtype,
+                                       use_pallas=self.use_pallas,
+                                       name=f"attn_{index}")(
+                                           h, update_stats=update_stats)
+            elif self.attn_type == "cbam":
+                return CBAMAttention(ch_out, which_conv, dtype=self.dtype,
+                                     name=f"attn_{index}")(
+                                         h, update_stats=update_stats)
+            elif self.attn_type == "ila":
+                return ILA(ch_out, dtype=self.dtype, name=f"attn_{index}")(h)
+            return h
+
+        def _tail(mdl, h, cond, train, update_stats, accumulate_standing):
+            # Final block + output head as ONE remat segment: un-remat'd,
+            # the head keeps the last block's full-resolution output
+            # resident for its backward (1.5GiB at batch 120 — a top-3
+            # allocation in the epb=3 OOM dump). Folded, only the block's
+            # (pre-upsample, 4x smaller) input is saved and the head is
+            # recomputed — a 3x3 conv + BN, negligible FLOPs.
+            last = n_stages - 1
+            h = GBlock(
+                in_channels=arch["in_channels"][last],
+                out_channels=(arch["in_channels"][last] if self.G_depth == 1
+                              else arch["out_channels"][last]),
+                which_conv=which_conv, which_bn=which_bn, activation=act,
+                upsample=arch["upsample"][last],
+                name=f"blocks_{last}_{self.G_depth - 1}")(
+                    h, cond, train, update_stats, accumulate_standing)
+            if arch["attention"][arch["resolution"][last]]:
+                h = _attention(h, last)
+            h = BatchNorm(arch["out_channels"][-1], eps=1e-5, dtype=self.dtype,
+                          name="output_bn")(h, train=train,
+                                            accumulate_standing=accumulate_standing)
+            h = which_conv(1, kernel_size=(3, 3), name="output_conv")(
+                act(h), update_stats=update_stats)
+            return jnp.tanh(h.astype(jnp.float32)).astype(self.dtype)
+
         for index in range(n_stages):
             if self.remat == "wide":
                 block_cls = remat_cls if index >= n_stages - 2 else GBlock
             else:
                 block_cls = remat_cls if self.remat else GBlock
             for g_index in range(self.G_depth):
+                if index == n_stages - 1 and g_index == self.G_depth - 1:
+                    continue  # folded into _tail below
                 h = block_cls(
                     in_channels=arch["in_channels"][index],
                     out_channels=(arch["in_channels"][index] if g_index == 0
@@ -235,23 +278,11 @@ class Generator(nn.Module):
                     upsample=(arch["upsample"][index]
                               and g_index == self.G_depth - 1),
                     name=f"blocks_{index}_{g_index}")(h, cond, *blk_args)
-            if arch["attention"][arch["resolution"][index]]:
-                ch_out = arch["out_channels"][index]
-                if self.attn_type == "sa":
-                    h = SelfAttention2d(ch_out, which_conv, dtype=self.dtype,
-                                        use_pallas=self.use_pallas,
-                                        name=f"attn_{index}")(
-                                            h, update_stats=update_stats)
-                elif self.attn_type == "cbam":
-                    h = CBAMAttention(ch_out, which_conv, dtype=self.dtype,
-                                      name=f"attn_{index}")(
-                                          h, update_stats=update_stats)
-                elif self.attn_type == "ila":
-                    h = ILA(ch_out, dtype=self.dtype, name=f"attn_{index}")(h)
+            if (arch["attention"][arch["resolution"][index]]
+                    and index != n_stages - 1):
+                h = _attention(h, index)
 
-        h = BatchNorm(arch["out_channels"][-1], eps=1e-5, dtype=self.dtype,
-                      name="output_bn")(h, train=train,
-                                        accumulate_standing=accumulate_standing)
-        h = which_conv(1, kernel_size=(3, 3), name="output_conv")(
-            act(h), update_stats=update_stats)
-        return jnp.tanh(h.astype(jnp.float32)).astype(self.dtype)
+        if self.remat:  # True and "wide" both remat the final stage
+            return nn.remat(_tail, static_argnums=(3, 4, 5))(
+                self, h, cond, *blk_args)
+        return _tail(self, h, cond, *blk_args)

@@ -127,8 +127,15 @@ def main():
         try:
             print(json.dumps(analyze(name, VARIANTS[name])), flush=True)
         except Exception as e:  # OOM-in-compile etc: report, keep going
-            print(json.dumps({"variant": name, "error": str(e)[:300]}),
-                  flush=True)
+            import re
+            s = str(e)
+            m = re.search(r"Used ([\d.]+[GM]) of ([\d.]+[GM]) hbm"
+                          r".*?Exceeded hbm capacity by ([\d.]+[GM])", s,
+                          re.S)
+            rec = {"variant": name, "error": s[:200]}
+            if m:
+                rec["hbm_used"], rec["hbm_cap"], rec["hbm_over"] = m.groups()
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
