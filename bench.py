@@ -352,15 +352,22 @@ def main():
         # Fresh client: the generate phase's exit released its HBM. Brief
         # settle gap — rapid client churn can FAILED_PRECONDITION at init.
         time.sleep(int(os.environ.get("BENCH_PHASE_GAP_S", "30")))
-        attempts = ({}, {"BENCH_TRAIN_REMAT": "1",
-                         "BENCH_REMAT_IS_FALLBACK": "1"})
+        # First attempt = the measured single-chip optimum (r4): epb=3 fills
+        # the 128-lane tile (padding 3.2x -> 1.07x) and full remat makes it
+        # fit in 16G (14.92G temp) — 1.90 events/s vs 1.13 at the epb=1
+        # default. Fallbacks walk back to the conservative configs.
+        attempts = ({"BENCH_TRAIN_EPB": "3", "BENCH_TRAIN_REMAT": "1"},
+                    {},
+                    {"BENCH_TRAIN_REMAT": "1",
+                     "BENCH_REMAT_IS_FALLBACK": "1"})
         for attempt, env_extra in enumerate(attempts):
             train = _run_phase("train", env_extra)
             if train is not None:
                 result["extra"].update(train)
                 break
             if attempt + 1 < len(attempts):
-                log("train phase failed; cooling down 90s, retrying with remat")
+                log("train phase failed; cooling down 90s, retrying with "
+                    "the next (more conservative) variant")
                 time.sleep(90)
         else:
             result["extra"]["train_error"] = "train phase failed (all attempts)"
