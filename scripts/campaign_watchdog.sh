@@ -33,11 +33,16 @@ while true; do
       echo "[watchdog] stop requested; killing $PID"; kill "$PID"; exit 0
     fi
     now=$(date +%s); mod=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
-    # double grace while this attempt is still initializing (resume +
-    # remote compile is silent for ~8 min and longer under host-CPU
-    # contention — killing a healthy init loops forever)
+    # Triple grace until this attempt has actually STEPPED (first
+    # "itr N" line after launch). Keying the grace off log mtime was a
+    # bug: the driver's init-stage liveness prints bump mtime, dropping
+    # the threshold to STALE while the longest silent phase (device
+    # param init + fresh remote compile, 15+ min cold-cache) is still
+    # ahead — the watchdog then kills a healthy init forever.
     THRESH="$STALE"
-    if [ "$mod" -le "$LAUNCH_TS" ]; then THRESH=$((STALE * 2)); fi
+    if ! awk '/^\[watchdog\] launch/{n=NR} /^itr [0-9]/{if (NR>n) s=1} END{exit !s}' "$LOG" 2>/dev/null; then
+      THRESH=$((STALE * 3))
+    fi
     if [ $((now - mod)) -gt "$THRESH" ]; then
       echo "[watchdog] log stale $((now - mod))s (thresh $THRESH); killing $PID $(date +%H:%M:%S)" >> "$LOG"
       kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
