@@ -1,5 +1,9 @@
 """Tests for sampling/plot/log-read utilities."""
 
+import hashlib
+import json
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -121,3 +125,47 @@ class TestSamplingSheets:
         img = Image.open(files[0])
         assert img.size == (cfg["resolution"] * cfg["H_base"],
                             cfg["resolution"] - 6)
+
+
+class TestArchiveCheckpoint:
+    """scripts/archive_checkpoint.py — the volatile-host artifact saver."""
+
+    def _fake_weights(self, run_dir, tag, itr):
+        w = run_dir / "weights"
+        w.mkdir(parents=True, exist_ok=True)
+        for base in ("G", "G_optim", "D", "D_optim", "G_ema"):
+            (w / f"{base}_{tag}.msgpack").write_bytes(
+                f"{base}-{tag}".encode())
+        (w / f"state_dict_{tag}.json").write_text(
+            json.dumps({"itr": itr, "epoch": 0}))
+
+    def test_newest_tag_and_manifest(self, tmp_path, monkeypatch):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "archive_checkpoint",
+            Path(__file__).parent.parent / "scripts" / "archive_checkpoint.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        run = tmp_path / "runs" / "myrun"
+        self._fake_weights(run, "copy0", 1000)
+        self._fake_weights(run, "copy1", 3000)
+        self._fake_weights(run, "best0", 2000)
+        assert mod.newest_tag(run / "weights") == "copy1"
+
+        # main() archives the newest tag into <repo>/artifacts/<run>
+        monkeypatch.setattr(mod, "REPO", tmp_path)
+        monkeypatch.setattr(
+            "sys.argv", ["archive_checkpoint.py", str(run), "--no-optim"])
+        mod.main()
+        dest = tmp_path / "artifacts" / "myrun"
+        manifest = json.loads((dest / "MANIFEST.json").read_text())
+        assert manifest["tag"] == "copy1"
+        assert set(manifest["files"]) == {
+            "G_copy1.msgpack", "D_copy1.msgpack", "G_ema_copy1.msgpack",
+            "state_dict_copy1.json"}
+        for name, meta in manifest["files"].items():
+            p = dest / name
+            assert p.stat().st_size == meta["bytes"]
+            assert hashlib.sha256(
+                p.read_bytes()).hexdigest() == meta["sha256"]
