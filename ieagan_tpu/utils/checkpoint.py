@@ -68,14 +68,41 @@ def _to_host(tree):
     for i, leaf in enumerate(leaves):
         groups.setdefault(np.dtype(getattr(leaf, "dtype", np.asarray(leaf).dtype)),
                           []).append(i)
-    out: list = [None] * len(leaves)
+    # Bound each packed transfer: one all-leaves pack is a single ~300MB
+    # RPC, and this tunnel wedges forever on monster transfers (observed
+    # live: the flagship itr-1000 checkpoint fetch blocked >25 min with
+    # zero progress; same pathology as the old 245MB eval fetches). Many
+    # ~32MB transfers also give per-chunk liveness prints the campaign
+    # watchdog can see.
+    chunk_bytes = int(os.environ.get("IEAGAN_FETCH_CHUNK_MB", "32")) * (1 << 20)
+    chunks: list = []
     for dtype, idxs in groups.items():
+        cur: list = []
+        cur_bytes = 0
+        for i in idxs:
+            shape = np.shape(leaves[i])
+            nbytes = int(np.prod(shape) if shape else 1) * dtype.itemsize
+            if cur and cur_bytes + nbytes > chunk_bytes:
+                chunks.append((dtype, cur))
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += nbytes
+        if cur:
+            chunks.append((dtype, cur))
+    total_mb = sum(int(np.prod(np.shape(leaves[i]) or (1,))) * d.itemsize
+                   for d, idxs in chunks for i in idxs) / (1 << 20)
+    verbose = total_mb > 64
+    out: list = [None] * len(leaves)
+    for n, (dtype, idxs) in enumerate(chunks):
         sig = (dtype, tuple((np.shape(leaves[i])) for i in idxs))
         if sig not in _PACKERS:
             _PACKERS[sig] = jax.jit(
                 lambda ls: jnp.concatenate([jnp.ravel(l) for l in ls])
                 if len(ls) > 1 else jnp.ravel(ls[0]))
         packed = np.asarray(_PACKERS[sig](tuple(leaves[i] for i in idxs)))
+        if verbose:
+            print(f"checkpoint fetch: chunk {n + 1}/{len(chunks)} "
+                  f"({packed.nbytes / (1 << 20):.0f} MB)", flush=True)
         off = 0
         for i in idxs:
             shape = np.shape(leaves[i])
