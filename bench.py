@@ -301,6 +301,47 @@ def _run_phase(phase: str, env_extra: dict | None = None,
             pass
 
 
+def _pause_campaigns() -> list:
+    """Pause any live training campaign before benching: the flagship step
+    leaves <1G HBM headroom, so a concurrent bench client would
+    RESOURCE_EXHAUSTED. Touch each campaign's <log>.pause — its watchdog
+    (scripts/campaign_watchdog.sh) kills train.py, waits the pause out,
+    then relaunches with --resume. Returns pause paths for _unpause()."""
+    import glob
+    paused = []
+    for pidfile in glob.glob(os.path.join(_HERE, "_local", "runs",
+                                          "*.log.pid")):
+        try:
+            pid = int(open(pidfile).read().strip())
+            os.kill(pid, 0)  # raises if the campaign already exited
+        except (ValueError, OSError):
+            continue
+        pause = pidfile[:-len(".pid")] + ".pause"
+        with open(pause, "w"):
+            pass
+        paused.append((pause, pid))
+        log(f"pausing live campaign pid {pid} ({pause})")
+    deadline = time.time() + 240  # watchdog polls every 30s, then kills
+    for pause, pid in paused:
+        while time.time() < deadline:
+            try:
+                os.kill(pid, 0)
+            except OSError:
+                break
+            time.sleep(5)
+    if paused:
+        time.sleep(15)  # let the chip server release the dead client's HBM
+    return [p for p, _ in paused]
+
+
+def _unpause_campaigns(paths: list) -> None:
+    for p in paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
 def main():
     phase = os.environ.get("BENCH_PHASE")
     if phase:  # child process: run one phase, dump JSON, exit
@@ -308,6 +349,14 @@ def main():
         with open(os.environ["BENCH_PHASE_OUT"], "w") as f:
             json.dump(result, f)
         return
+    paused = _pause_campaigns()
+    try:
+        _main_phases()
+    finally:
+        _unpause_campaigns(paused)
+
+
+def _main_phases():
 
     if os.environ.get("BENCH_INPROCESS"):
         result = phase_generate()

@@ -32,6 +32,26 @@ while true; do
     if [ -f "$LOG.stop" ]; then
       echo "[watchdog] stop requested; killing $PID"; kill "$PID"; exit 0
     fi
+    # Pause protocol: bench.py / __graft_entry__ touch $LOG.pause to borrow
+    # the chip (the flagship step leaves <1G HBM headroom — a concurrent
+    # client would RESOURCE_EXHAUSTED). Kill train.py, wait the pause out,
+    # then relaunch with --resume. A pause file older than 30 min is
+    # treated as leaked (its creator died) and removed.
+    if [ -f "$LOG.pause" ]; then
+      page=$(( $(date +%s) - $(stat -c %Y "$LOG.pause" 2>/dev/null || date +%s) ))
+      if [ "$page" -lt 1800 ]; then
+        echo "[watchdog] pause requested; killing $PID $(date +%H:%M:%S)" >> "$LOG"
+        kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null
+        while [ -f "$LOG.pause" ] && \
+              [ $(( $(date +%s) - $(stat -c %Y "$LOG.pause") )) -lt 1800 ]; do
+          sleep 15
+        done
+        rm -f "$LOG.pause"
+        echo "[watchdog] pause released; resuming $(date +%H:%M:%S)" >> "$LOG"
+        break
+      fi
+      rm -f "$LOG.pause"
+    fi
     now=$(date +%s); mod=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     # Triple grace until this attempt has actually STEPPED (first
     # "itr N" line after launch). Keying the grace off log mtime was a
