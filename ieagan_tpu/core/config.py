@@ -218,6 +218,15 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # dataset. True (default) applies DiffAugment to the real branch too,
     # per the DiffAugment paper; False reproduces upstream.
     "diff_aug_real": True,
+    # Contrastive (2C/IEA) softmax temperature. The reference hardcodes
+    # t = 1.0 for the Contra strategy (train_fns.py:46-47); exposed here as
+    # a recipe lever for the round-4 physics residual (fewer-but-brighter
+    # hits — docs/VALIDATION.md) A/B'd by scripts/physics_ab.py.
+    "temperature": 1.0,
+    # DiffAugment policy string (ops/diff_aug.py; Zhao et al. 2020 default
+    # "color,translation,cutout"). Another physics_ab.py lever: weaker/
+    # stronger augmentation shifts the D-overfitting vs fidelity trade.
+    "diff_aug_policy": "color,translation,cutout",
     # Upload raw uint8 sensor images and run the pad/lognorm/noise transform
     # on device inside the jitted step (4x less host->device traffic; noise
     # comes from the jax RNG stream instead of the host numpy stream —
