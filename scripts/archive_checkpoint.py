@@ -28,19 +28,34 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def newest_tag(weights_dir: Path) -> str:
-    best = None
+def _tags_by_itr(weights_dir: Path, prefix: str | None = None):
+    out = []
     for p in weights_dir.glob("state_dict_*.json"):
         tag = p.stem[len("state_dict_"):]
+        if prefix is not None and not tag.startswith(prefix):
+            continue
         try:
             itr = json.loads(p.read_text()).get("itr", -1)
         except (ValueError, OSError):
             continue
-        if best is None or itr > best[0]:
-            best = (itr, tag)
-    if best is None:
+        out.append((itr, tag))
+    return out
+
+
+def newest_tag(weights_dir: Path) -> str:
+    tags = _tags_by_itr(weights_dir)
+    if not tags:
         raise SystemExit(f"no state_dict_*.json under {weights_dir}")
-    return best[1]
+    return max(tags)[1]
+
+
+def best_tag(weights_dir: Path) -> str | None:
+    """The most recent best<N> tag (the driver only rotates a best tag in
+    when FID improves, so the newest-itr best tag IS the best-FID
+    checkpoint — which the newest copy<N> tag stops being the moment a
+    campaign passes its FID peak, as flagship_r4 did at itr 14000)."""
+    tags = _tags_by_itr(weights_dir, prefix="best")
+    return max(tags)[1] if tags else None
 
 
 def main() -> None:
@@ -58,7 +73,21 @@ def main() -> None:
     bases = ["G", "D", "G_ema", "state_dict"]
     if not args.no_optim:
         bases[3:3] = ["G_optim", "D_optim"]
-    manifest = {"run": args.run_dir.name, "tag": tag, "files": {}}
+    # The manifest accumulates per-tag file listings so two tags (newest
+    # copy<N> resume point + newest best<N> FID peak) can coexist in one
+    # artifacts/<run>/ dir; stale tags are pruned by the caller.
+    manifest = {"run": args.run_dir.name, "tags": {}}
+    mpath = dest / "MANIFEST.json"
+    if mpath.exists():
+        try:
+            prev = json.loads(mpath.read_text())
+            if prev.get("run") == manifest["run"]:
+                manifest["tags"] = dict(prev.get("tags", {}))
+                if "tag" in prev and "files" in prev:  # legacy single-tag
+                    manifest["tags"].setdefault(prev["tag"], prev["files"])
+        except (ValueError, OSError):
+            pass
+    files = {}
     for base in bases:
         ext = "json" if base == "state_dict" else "msgpack"
         src = weights / f"{base}_{tag}.{ext}"
@@ -67,10 +96,14 @@ def main() -> None:
         out = dest / src.name
         shutil.copy2(src, out)
         h = hashlib.sha256(out.read_bytes()).hexdigest()
-        manifest["files"][src.name] = {"sha256": h,
-                                       "bytes": out.stat().st_size}
+        files[src.name] = {"sha256": h, "bytes": out.stat().st_size}
         print(f"{h}  {out.relative_to(REPO)}  {out.stat().st_size}")
-    (dest / "MANIFEST.json").write_text(json.dumps(manifest, indent=1))
+    manifest["tags"][tag] = files
+    # Drop manifest entries whose files are gone (pruned stale tags).
+    manifest["tags"] = {
+        t: fs for t, fs in manifest["tags"].items()
+        if all((dest / name).exists() for name in fs)}
+    mpath.write_text(json.dumps(manifest, indent=1))
     print(f"archived tag {tag} -> {dest.relative_to(REPO)} "
           f"(git add artifacts/ to persist)")
 

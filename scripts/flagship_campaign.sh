@@ -42,12 +42,31 @@ fi
 [ -f stats/synv2_clean_custom_na.npz ] || {
   echo "missing stats/synv2_clean_custom_na.npz (FID reference stats)"; exit 1; }
 
-# 2) launch under the chip-wedge watchdog (stale threshold must exceed the
-#    FID eval subprocess' compile time on the tunneled chip, ~6-8 min)
+# 2) seed the run dir from the committed archive if the host was recycled
+#    (everything outside git is wiped between sessions — docs/ROADMAP.md).
+#    artifacts/<run>/ holds one checkpoint tag; latest_checkpoint() resolves
+#    any tag name by its state_dict itr, so a straight copy is a valid
+#    resume point.
+WEIGHTS="_local/runs/${RUN}/weights"
+if [ ! -d "$WEIGHTS" ] && [ -d "artifacts/${RUN}" ]; then
+  mkdir -p "$WEIGHTS"
+  find "artifacts/${RUN}" -maxdepth 1 -type f ! -name MANIFEST.json \
+      -exec cp {} "$WEIGHTS/" \;
+  echo "[campaign] seeded ${WEIGHTS} from artifacts/${RUN}"
+fi
+RESUME=()
+if [ -d "$WEIGHTS" ] && ls "$WEIGHTS"/state_dict_*.json >/dev/null 2>&1; then
+  RESUME=(--resume true)
+fi
+
+# 3) launch under the chip-wedge watchdog (stale threshold must exceed the
+#    FID eval subprocess' compile time on the tunneled chip, ~6-8 min).
+#    num_epochs is sized generously; --stop_after is the real bound.
 mkdir -p _local/runs
 exec scripts/campaign_watchdog.sh "_local/runs/${RUN}.log" 900 -- \
     --dataroot _local/synv2/train --outputroot _local/runs \
     --run-name "$RUN" \
-    --num_epochs 8 --stop_after "$STEPS" \
+    --num_epochs 24 --stop_after "$STEPS" \
     --fid_dataset_name synv2 \
-    --device_transform true
+    --device_transform true \
+    "${RESUME[@]}"

@@ -151,7 +151,11 @@ class TestArchiveCheckpoint:
         self._fake_weights(run, "copy0", 1000)
         self._fake_weights(run, "copy1", 3000)
         self._fake_weights(run, "best0", 2000)
+        self._fake_weights(run, "best1", 2500)
         assert mod.newest_tag(run / "weights") == "copy1"
+        # best_tag: the newest best<N> rotation, NOT the newest tag overall
+        assert mod.best_tag(run / "weights") == "best1"
+        assert mod.best_tag(tmp_path) is None  # no state_dicts at all
 
         # main() archives the newest tag into <repo>/artifacts/<run>
         monkeypatch.setattr(mod, "REPO", tmp_path)
@@ -160,12 +164,29 @@ class TestArchiveCheckpoint:
         mod.main()
         dest = tmp_path / "artifacts" / "myrun"
         manifest = json.loads((dest / "MANIFEST.json").read_text())
-        assert manifest["tag"] == "copy1"
-        assert set(manifest["files"]) == {
+        assert set(manifest["tags"]) == {"copy1"}
+        files = manifest["tags"]["copy1"]
+        assert set(files) == {
             "G_copy1.msgpack", "D_copy1.msgpack", "G_ema_copy1.msgpack",
             "state_dict_copy1.json"}
-        for name, meta in manifest["files"].items():
+        for name, meta in files.items():
             p = dest / name
             assert p.stat().st_size == meta["bytes"]
             assert hashlib.sha256(
                 p.read_bytes()).hexdigest() == meta["sha256"]
+
+        # A second tag merges into the same manifest (copy + best coexist,
+        # the auto_archive.sh contract)...
+        monkeypatch.setattr(
+            "sys.argv",
+            ["archive_checkpoint.py", str(run), "best1", "--no-optim"])
+        mod.main()
+        manifest = json.loads((dest / "MANIFEST.json").read_text())
+        assert set(manifest["tags"]) == {"copy1", "best1"}
+
+        # ...and entries whose files were pruned drop out on re-archive.
+        for p in dest.glob("*_copy1.*"):
+            p.unlink()
+        mod.main()  # re-archives best1; prunes the dangling copy1 entry
+        manifest = json.loads((dest / "MANIFEST.json").read_text())
+        assert set(manifest["tags"]) == {"best1"}
