@@ -52,6 +52,26 @@ if [ ! -d "$WEIGHTS" ] && [ -d "artifacts/${RUN}" ]; then
   mkdir -p "$WEIGHTS"
   find "artifacts/${RUN}" -maxdepth 1 -type f ! -name MANIFEST.json \
       -exec cp {} "$WEIGHTS/" \;
+  # A seeded copy<N> state_dict can carry a best_FID threshold far worse
+  # than the archived best tag's FID (they come from different points in
+  # the leg). If the driver resumes with that stale threshold it will
+  # rotate a *worse* checkpoint into a best<N> slot and the archiver
+  # would then evict the true best (round-4 advisor, high severity).
+  # Rewrite every seeded state_dict's best_FID to the minimum across all
+  # seeded tags so a best rotation only happens on genuine improvement.
+  python - "$WEIGHTS" <<'EOF'
+import json, pathlib, sys
+w = pathlib.Path(sys.argv[1])
+sds = {p: json.loads(p.read_text()) for p in w.glob("state_dict_*.json")}
+fids = [sd["best_FID"] for sd in sds.values() if "best_FID" in sd]
+if fids:
+    floor = min(fids)
+    for p, sd in sds.items():
+        if sd.get("best_FID", floor) > floor:
+            sd["best_FID"] = floor
+            p.write_text(json.dumps(sd))
+            print(f"[campaign] {p.name}: best_FID floored to {floor}")
+EOF
   echo "[campaign] seeded ${WEIGHTS} from artifacts/${RUN}"
 fi
 RESUME=()

@@ -130,35 +130,41 @@ class TestSamplingSheets:
 class TestArchiveCheckpoint:
     """scripts/archive_checkpoint.py — the volatile-host artifact saver."""
 
-    def _fake_weights(self, run_dir, tag, itr):
+    def _fake_weights(self, run_dir, tag, itr, best_fid=None):
         w = run_dir / "weights"
         w.mkdir(parents=True, exist_ok=True)
         for base in ("G", "G_optim", "D", "D_optim", "G_ema"):
             (w / f"{base}_{tag}.msgpack").write_bytes(
-                f"{base}-{tag}".encode())
-        (w / f"state_dict_{tag}.json").write_text(
-            json.dumps({"itr": itr, "epoch": 0}))
+                f"{base}-{tag}-{itr}".encode())
+        sd = {"itr": itr, "epoch": 0}
+        if best_fid is not None:
+            sd["best_FID"] = best_fid
+        (w / f"state_dict_{tag}.json").write_text(json.dumps(sd))
 
-    def test_newest_tag_and_manifest(self, tmp_path, monkeypatch):
+    def _load(self, tmp_path):
         import importlib.util
         spec = importlib.util.spec_from_file_location(
             "archive_checkpoint",
             Path(__file__).parent.parent / "scripts" / "archive_checkpoint.py")
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
+        mod.REPO = tmp_path
+        return mod
+
+    def test_newest_tag_and_manifest(self, tmp_path, monkeypatch):
+        mod = self._load(tmp_path)
 
         run = tmp_path / "runs" / "myrun"
         self._fake_weights(run, "copy0", 1000)
         self._fake_weights(run, "copy1", 3000)
-        self._fake_weights(run, "best0", 2000)
-        self._fake_weights(run, "best1", 2500)
+        self._fake_weights(run, "best0", 2000, best_fid=150.0)
+        self._fake_weights(run, "best1", 2500, best_fid=120.0)
         assert mod.newest_tag(run / "weights") == "copy1"
-        # best_tag: the newest best<N> rotation, NOT the newest tag overall
+        # best_tag: the lowest-FID best<N> rotation, NOT the newest tag
         assert mod.best_tag(run / "weights") == "best1"
         assert mod.best_tag(tmp_path) is None  # no state_dicts at all
 
         # main() archives the newest tag into <repo>/artifacts/<run>
-        monkeypatch.setattr(mod, "REPO", tmp_path)
         monkeypatch.setattr(
             "sys.argv", ["archive_checkpoint.py", str(run), "--no-optim"])
         mod.main()
@@ -190,3 +196,80 @@ class TestArchiveCheckpoint:
         mod.main()  # re-archives best1; prunes the dangling copy1 entry
         manifest = json.loads((dest / "MANIFEST.json").read_text())
         assert set(manifest["tags"]) == {"best1"}
+
+    def test_best_tag_survives_resume_threshold_reset(self, tmp_path):
+        """Across resume legs a NEWER best<N> can hold a WORSE checkpoint
+        (the driver's best_FID threshold resets when seeded from a copy<N>
+        state_dict). min-FID selection must pick the older, better one
+        (round-4 advisor, medium)."""
+        mod = self._load(tmp_path)
+        run = tmp_path / "runs" / "r"
+        self._fake_weights(run, "best0", 14000, best_fid=119.4)
+        self._fake_weights(run, "best1", 16000, best_fid=980.0)  # post-reset
+        assert mod.best_tag(run / "weights") == "best0"
+        # ties break to the later iteration
+        self._fake_weights(run, "best1", 16000, best_fid=119.4)
+        assert mod.best_tag(run / "weights") == "best1"
+
+    def test_legacy_single_tag_manifest_migrates(self, tmp_path, monkeypatch):
+        """An old-format {"tag","files"} MANIFEST.json folds into
+        manifest["tags"] on the next archive — the exact path the live
+        flagship_r4b archive hit on its first post-upgrade run
+        (round-4 advisor, low)."""
+        mod = self._load(tmp_path)
+        run = tmp_path / "runs" / "r"
+        self._fake_weights(run, "copy2", 2000)
+        dest = tmp_path / "artifacts" / "r"
+        dest.mkdir(parents=True)
+        # legacy layout: single tag at top level, its file present on disk
+        (dest / "state_dict_copy1.json").write_text(
+            json.dumps({"itr": 1000, "epoch": 0}))
+        (dest / "MANIFEST.json").write_text(json.dumps({
+            "run": "r", "tag": "copy1",
+            "files": {"state_dict_copy1.json": {
+                "sha256": "0" * 64, "bytes": 24}}}))
+        mod.archive_tag(run, "copy2", mod.EMA_BASES)
+        manifest = json.loads((dest / "MANIFEST.json").read_text())
+        assert set(manifest["tags"]) == {"copy1", "copy2"}
+        assert "tag" not in manifest  # rewritten in the new format
+
+    def test_auto_cycle_policy(self, tmp_path):
+        """--auto: best tags archive G_ema+state_dict only; copy tags
+        archive in full but only every copy_every itrs; stale files are
+        pruned only AFTER a successful archive (round-4 verdict item 5 +
+        advisor low on ordering)."""
+        mod = self._load(tmp_path)
+        run = tmp_path / "runs" / "r"
+        self._fake_weights(run, "copy3", 3000)
+        self._fake_weights(run, "best0", 2500, best_fid=500.0)
+        assert mod.auto_cycle(run, copy_every=2000, settle_s=0.0)
+        dest = tmp_path / "artifacts" / "r"
+        manifest = json.loads((dest / "MANIFEST.json").read_text())
+        assert set(manifest["tags"]) == {"copy3", "best0"}
+        assert set(manifest["tags"]["best0"]) == {
+            "G_ema_best0.msgpack", "state_dict_best0.json"}  # ema-only
+        assert len(manifest["tags"]["copy3"]) == 6  # full resume set
+
+        # Nothing changed -> no-op cycle.
+        assert not mod.auto_cycle(run, copy_every=2000, settle_s=0.0)
+
+        # copy4 at +1000 itrs is below the cadence: still no copy archive,
+        # but an improved best rotates in (ema-only) and evicts the old
+        # best's files.
+        self._fake_weights(run, "copy4", 4000)
+        self._fake_weights(run, "best1", 4000, best_fid=300.0)
+        assert mod.auto_cycle(run, copy_every=2000, settle_s=0.0)
+        manifest = json.loads((dest / "MANIFEST.json").read_text())
+        assert set(manifest["tags"]) == {"copy3", "best1"}
+        assert not (dest / "G_ema_best0.msgpack").exists()
+        assert (dest / "G_copy3.msgpack").exists()
+
+        # copy5 at +2000 itrs crosses the cadence: full archive + prune of
+        # the superseded copy3 files.
+        self._fake_weights(run, "copy5", 5000)
+        assert mod.auto_cycle(run, copy_every=2000, settle_s=0.0)
+        manifest = json.loads((dest / "MANIFEST.json").read_text())
+        assert set(manifest["tags"]) == {"copy5", "best1"}
+        assert not (dest / "G_copy3.msgpack").exists()
+        assert (dest / "G_optim_copy5.msgpack").exists()
+        assert (dest / "G_ema_best1.msgpack").exists()
