@@ -526,19 +526,46 @@ def _run_fid_subprocess(state, state_dict, config):
     proc = subprocess.Popen(
         cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
+    # The eval child is a live chip client. If an external watchdog
+    # SIGTERMs *this* process (scripts/campaign_watchdog.sh pause
+    # protocol) while the child runs, a plain Popen child would be
+    # orphaned and keep the chip's HBM for minutes — the borrower then
+    # hits RESOURCE_EXHAUSTED. Take the child down with us, and publish
+    # its pid so a SIGKILL'd parent still leaves a breadcrumb for the
+    # borrower to wait on (scripts/physics_ab.py --chip).
+    import signal
+    pidfile = runpath / "fid_subprocess.pid"
+    try:
+        pidfile.write_text(str(proc.pid))
+    except OSError:
+        pass
+
+    def _term(signum, frame):
+        proc.kill()
+        raise SystemExit(128 + signum)
+
+    prev_term = signal.signal(signal.SIGTERM, _term)
     t0 = time.time()
-    while True:
+    try:
+        while True:
+            try:
+                stdout, stderr = proc.communicate(timeout=60.0)
+                break
+            except subprocess.TimeoutExpired:
+                if time.time() - t0 > timeout:
+                    proc.kill()
+                    stdout, stderr = proc.communicate()
+                    print("FID subprocess timed out; skipping test",
+                          flush=True)
+                    return None
+                print(f"FID subprocess running ({time.time() - t0:.0f}s)...",
+                      flush=True)
+    finally:
+        signal.signal(signal.SIGTERM, prev_term)
         try:
-            stdout, stderr = proc.communicate(timeout=60.0)
-            break
-        except subprocess.TimeoutExpired:
-            if time.time() - t0 > timeout:
-                proc.kill()
-                stdout, stderr = proc.communicate()
-                print("FID subprocess timed out; skipping test", flush=True)
-                return None
-            print(f"FID subprocess running ({time.time() - t0:.0f}s)...",
-                  flush=True)
+            pidfile.unlink()
+        except OSError:
+            pass
     if proc.returncode != 0:
         print(f"FID subprocess failed rc={proc.returncode}: "
               f"{stderr[-800:]}", flush=True)

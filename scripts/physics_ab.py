@@ -17,7 +17,19 @@ line per variant with the GAN/real ratios of the residual observables.
 Usage:
   python scripts/physics_ab.py NAME [--steps 2000] [--overrides '{...}']
       [--eval-events 400] [--root _local/ab64] [--train-events 1200]
+      [--chip]
 Results append to docs/physics_ab.jsonl (one line per finished variant).
+
+--chip (round-5): run the arm on the real TPU instead of XLA:CPU. The
+64px step is ~82 s/itr on this host's single CPU core — a 2000-step arm
+is ~45 h, which made CPU arms economically impossible (round-4 verdict
+item 3). On the chip the same arm is minutes. The flagship campaign owns
+the chip, so the arm borrows it via the watchdog pause protocol
+(__graft_entry__._pause_campaigns): touch <log>.pause -> watchdog kills
+train.py -> run the arm -> remove the pause -> watchdog resumes from the
+latest checkpoint. A keepalive refreshes the pause file's mtime (the
+watchdog treats >30-min-old pauses as leaked) and a TTL janitor removes
+it if this process dies.
 
 Reference protocol being scored: Evaluation/eval_all.py:75-120 (intensity
 spectrum / occupancy / per-sensor mean charge, 7-ADU noise cut).
@@ -59,6 +71,58 @@ def ensure_split(split_dir: str, events: int, event_seed: int | None):
     subprocess.run(cmd, check=True)
 
 
+def _acquire_chip(ttl_s: int):
+    """Borrow the chip from any live campaign. Returns a release()."""
+    import glob
+    import threading
+
+    sys.path.insert(0, REPO)
+    from __graft_entry__ import _pause_campaigns
+    _pause_campaigns(ttl_s=ttl_s)
+
+    # The (pre-round-5) driver's FID subprocess survives its parent's
+    # SIGTERM as an orphaned chip client; wait for the breadcrumb pid.
+    for pf in glob.glob(os.path.join(REPO, "_local", "runs", "*",
+                                     "fid_subprocess.pid")):
+        try:
+            pid = int(open(pf).read().strip())
+        except (ValueError, OSError):
+            continue
+        t0 = time.time()
+        while time.time() - t0 < 900:
+            try:
+                os.kill(pid, 0)
+            except OSError:
+                break
+            print(f"waiting on orphaned FID eval pid {pid}...", flush=True)
+            time.sleep(15)
+
+    pauses = glob.glob(os.path.join(REPO, "_local", "runs", "*.log.pause"))
+    stop = threading.Event()
+
+    def keepalive():
+        # the watchdog treats a pause file whose mtime is >30 min old as
+        # leaked and resumes — refresh while the arm is still running
+        while not stop.wait(120):
+            for p in pauses:
+                try:
+                    os.utime(p)
+                except OSError:
+                    pass
+
+    threading.Thread(target=keepalive, daemon=True).start()
+
+    def release():
+        stop.set()
+        for p in pauses:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+    return release
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("name")
@@ -69,15 +133,32 @@ def main():
     ap.add_argument("--root", default=os.path.join(REPO, "_local", "ab64"))
     ap.add_argument("--train-events", type=int, default=1200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--chip", action="store_true",
+                    help="borrow the TPU via the campaign pause protocol")
+    ap.add_argument("--chip-ttl", type=int, default=5400,
+                    help="janitor TTL on the pause files (crash failsafe)")
     args = ap.parse_args()
 
-    # CPU backend: the chip belongs to the flagship campaign. Must happen
-    # before first backend use (the axon plugin ignores JAX_PLATFORMS).
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    release = None
+    if args.chip:
+        release = _acquire_chip(args.chip_ttl)
+    else:
+        # CPU backend: the chip belongs to the flagship campaign. Must
+        # happen before first backend use (the axon plugin ignores
+        # JAX_PLATFORMS).
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
 
+    try:
+        _run_arm(args)
+    finally:
+        if release is not None:
+            release()
+
+
+def _run_arm(args):
     train_root = os.path.join(args.root, "train")
     test_root = os.path.join(args.root, "test")
     ensure_split(train_root, args.train_events, None)
@@ -136,10 +217,12 @@ def main():
     import numpy as np
     chg_g = float(np.nanmean(gan["per_sensor_mean_charge"]))
     chg_r = float(np.nanmean(real["per_sensor_mean_charge"]))
+    import jax
     result = {
         "variant": args.name,
         "overrides": overrides,
         "steps": args.steps,
+        "backend": jax.default_backend(),
         "train_s": round(train_s, 1),
         "eval_events": args.eval_events,
         "occupancy_gan": occ_g, "occupancy_real": occ_r,
