@@ -16,6 +16,15 @@ REPO="$(cd "$(dirname "$0")/.." && pwd)"
 attempt=0
 while true; do
   if [ -f "$LOG.stop" ]; then echo "[watchdog] stop requested"; exit 0; fi
+  # Honor a pause BEFORE (re)launching too: a borrower that requests the
+  # chip while we are in the post-kill cooldown must not race a relaunch
+  # (observed round-5: arm crashed -> cooldown -> next arm found no live
+  # train pid -> watchdog relaunched into the borrower's chip session).
+  while [ -f "$LOG.pause" ] && \
+        [ $(( $(date +%s) - $(stat -c %Y "$LOG.pause" 2>/dev/null || echo 0) )) -lt 1800 ]; do
+    sleep 15
+  done
+  rm -f "$LOG.pause"
   RESUME=()
   if [ "$attempt" -gt 0 ]; then RESUME=(--resume true); fi
   echo "[watchdog] launch attempt $attempt $(date +%H:%M:%S)" >> "$LOG"
