@@ -197,6 +197,19 @@ def kernel_distance(feats1, feats2, num_subsets: int = 100,
     return float(t / num_subsets / m)
 
 
+def kid_self_floor(ref_feats, seed: int | None = 0) -> float:
+    """Real-vs-real KID of a half/half split of the reference features —
+    the measurement floor a generator's KID should be read against
+    (reference contract: fid.py:476-487 applied to two real splits).
+    Round-4 verdict: every reported KID must carry this floor, or a
+    200x fidelity gap reads like a small number."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(ref_feats.shape[0])
+    half = len(idx) // 2
+    return kernel_distance(ref_feats[idx[:half]], ref_feats[idx[half:]],
+                           seed=seed)
+
+
 # ------------------------------------------------------------ feature runs
 
 def _mode_options(mode: str):

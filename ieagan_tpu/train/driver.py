@@ -439,7 +439,12 @@ def run_test(G, state, state_dict, config, metrics_log):
             extras = {}
             if "kid" in res:
                 extras["KID"] = float(res["kid"])
-                print(f"The KID score is {res['kid']}")
+                if "kid_floor" in res:  # real-vs-real floor, always shown
+                    extras["KID_floor"] = float(res["kid_floor"])
+                    print(f"The KID score is {res['kid']} "
+                          f"(real-vs-real floor {res['kid_floor']})")
+                else:
+                    print(f"The KID score is {res['kid']}")
             if "physics" in res:
                 p = res["physics"]
                 extras["phys_occupancy"] = p["mean_occupancy"]

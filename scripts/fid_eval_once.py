@@ -119,8 +119,14 @@ def main():
             ".npz", "_kid.npz")
         if os.path.exists(kid_path):
             ref_feats = np.load(kid_path)["feats"]
+            seed = int(config.get("seed", 0))
             out["kid"] = float(fid_mod.kernel_distance(
-                feats, ref_feats, seed=int(config.get("seed", 0))))
+                feats, ref_feats, seed=seed))
+            # always report the real-vs-real floor next to the KID
+            # (round-4 verdict item 7: the gap must be visible in the
+            # artifact, not just prose)
+            out["kid_floor"] = float(fid_mod.kid_self_floor(ref_feats,
+                                                            seed=seed))
         else:
             print(f"# KID stats {kid_path} missing; skipping KID",
                   file=sys.stderr)

@@ -89,4 +89,5 @@ exec scripts/campaign_watchdog.sh "_local/runs/${RUN}.log" 900 -- \
     --num_epochs 24 --stop_after "$STEPS" \
     --fid_dataset_name synv2 \
     --device_transform true \
+    --test_kid true --test_physics_events 1000 \
     "${RESUME[@]}"

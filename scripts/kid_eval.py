@@ -91,10 +91,15 @@ def main():
     fid = fid_mod.frechet_distance(feats.mean(0),
                                    np.cov(feats, rowvar=False),
                                    ref_mu, ref_sigma)
+    seed = int(config.get("seed", 0))
     kid = fid_mod.kernel_distance(feats.astype(np.float32), ref_feats,
-                                  seed=int(config.get("seed", 0)))
+                                  seed=seed)
+    # real-vs-real floor of the same feature bank (round-4 verdict item 7:
+    # a KID without its floor hides the fidelity gap)
+    kid_floor = fid_mod.kid_self_floor(ref_feats, seed=seed)
     print(json.dumps({"tag": args.tag, "num": int(feats.shape[0]),
                       "fid": float(fid), "kid_x1e3": float(kid) * 1e3,
+                      "kid_floor_x1e3": float(kid_floor) * 1e3,
                       "dataset": dataset}))
 
 
