@@ -125,10 +125,15 @@ def _acquire_chip(ttl_s: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("name")
+    ap.add_argument("name", nargs="?", default=None)
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--overrides", default="{}",
                     help="JSON config overrides = the lever under test")
+    ap.add_argument("--grid", default=None,
+                    help="JSON file (or inline JSON) with a list of arms "
+                         '[{"name":..., "overrides":{...}, "steps":N}, ...]; '
+                         "all arms run inside ONE chip pause window and "
+                         "share the in-process jit cache")
     ap.add_argument("--eval-events", type=int, default=400)
     ap.add_argument("--root", default=os.path.join(REPO, "_local", "ab64"))
     ap.add_argument("--train-events", type=int, default=1200)
@@ -151,14 +156,33 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
 
+    if args.grid:
+        raw = (open(args.grid).read() if os.path.exists(args.grid)
+               else args.grid)
+        arms = json.loads(raw)
+    else:
+        if not args.name:
+            ap.error("need a variant NAME (or --grid)")
+        arms = [{"name": args.name, "overrides": json.loads(args.overrides),
+                 "steps": args.steps}]
+
+    import traceback
     try:
-        _run_arm(args)
+        for arm in arms:
+            print(f"=== arm {arm['name']} ===", flush=True)
+            try:
+                _run_arm(args, arm["name"], arm.get("overrides", {}),
+                         int(arm.get("steps", args.steps)))
+            except Exception:
+                # one broken arm must not burn the rest of the grid's
+                # chip window
+                traceback.print_exc()
     finally:
         if release is not None:
             release()
 
 
-def _run_arm(args):
+def _run_arm(args, name, overrides, steps):
     train_root = os.path.join(args.root, "train")
     test_root = os.path.join(args.root, "test")
     ensure_split(train_root, args.train_events, None)
@@ -167,18 +191,20 @@ def _run_arm(args):
     from ieagan_tpu.core.config import DEFAULT_CONFIG
     from ieagan_tpu.train.driver import run
 
-    overrides = json.loads(args.overrides)
     config = dict(DEFAULT_CONFIG)
     config.update(BASE_OVERRIDES)
     config.update(overrides)
-    steps_per_epoch = args.train_events  # events_per_batch=1
+    # one step consumes events_per_batch events (the epb=3 arm would
+    # otherwise exhaust num_epochs at steps/3 and silently under-train)
+    steps_per_epoch = max(
+        1, args.train_events // int(config.get("events_per_batch", 1)))
     config.update(
         dataroot=train_root,
         outputroot=os.path.join(args.root, "runs"),
-        run_name=args.name,
-        num_epochs=max(1, math.ceil(args.steps / steps_per_epoch)),
-        stop_after=args.steps,
-        save_every=args.steps,  # final checkpoint is also written by run()
+        run_name=name,
+        num_epochs=max(1, math.ceil(steps / steps_per_epoch)),
+        stop_after=steps,
+        save_every=steps,  # final checkpoint is also written by run()
     )
     os.makedirs(config["outputroot"], exist_ok=True)
     from ieagan_tpu.utils import initialize_directories
@@ -192,7 +218,7 @@ def _run_arm(args):
     from ieagan_tpu.deploy import Model
     from ieagan_tpu.eval import physics
 
-    weights_dir = os.path.join(args.root, "runs", args.name, "weights")
+    weights_dir = os.path.join(args.root, "runs", name, "weights")
     # the full train config carries every arch key a lever might touch;
     # non-arch keys are inert for the Generator build
     model = Model.restore(weights_dir, config=config)
@@ -219,9 +245,9 @@ def _run_arm(args):
     chg_r = float(np.nanmean(real["per_sensor_mean_charge"]))
     import jax
     result = {
-        "variant": args.name,
+        "variant": name,
         "overrides": overrides,
-        "steps": args.steps,
+        "steps": steps,
         "backend": jax.default_backend(),
         "train_s": round(train_s, 1),
         "eval_events": args.eval_events,
