@@ -82,12 +82,24 @@ fi
 # 3) launch under the chip-wedge watchdog (stale threshold must exceed the
 #    FID eval subprocess' compile time on the tunneled chip, ~6-8 min).
 #    num_epochs is sized generously; --stop_after is the real bound.
+#    When a leg finishes, extend the budget while FID is still falling
+#    (round-4 verdict: a fixed budget stopped one trajectory mid-descent)
+#    and stop once the optimum is behind us.
 mkdir -p _local/runs
-exec scripts/campaign_watchdog.sh "_local/runs/${RUN}.log" 900 -- \
-    --dataroot _local/synv2/train --outputroot _local/runs \
-    --run-name "$RUN" \
-    --num_epochs 24 --stop_after "$STEPS" \
-    --fid_dataset_name synv2 \
-    --device_transform true \
-    --test_kid true --test_physics_events 1000 \
-    "${RESUME[@]}"
+while true; do
+  scripts/campaign_watchdog.sh "_local/runs/${RUN}.log" 900 -- \
+      --dataroot _local/synv2/train --outputroot _local/runs \
+      --run-name "$RUN" \
+      --num_epochs 24 --stop_after "$STEPS" \
+      --fid_dataset_name synv2 \
+      --device_transform true \
+      --test_kid true --test_physics_events 1000 \
+      "${RESUME[@]}"
+  if [ -f "_local/runs/${RUN}.log.stop" ]; then break; fi
+  NEW=$(python scripts/extend_decision.py "_local/runs/${RUN}" "$STEPS") || break
+  case "$NEW" in
+    stop|"") echo "[campaign] FID peak is behind the budget; stopping"; break ;;
+    *) echo "[campaign] FID still falling; extending ${STEPS} -> ${NEW}"
+       STEPS="$NEW"; RESUME=(--resume true) ;;
+  esac
+done

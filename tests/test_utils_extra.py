@@ -273,3 +273,34 @@ class TestArchiveCheckpoint:
         assert not (dest / "G_copy3.msgpack").exists()
         assert (dest / "G_optim_copy5.msgpack").exists()
         assert (dest / "G_ema_best1.msgpack").exists()
+
+
+class TestExtendDecision:
+    """scripts/extend_decision.py — budget extension while FID falls."""
+
+    def _decide(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "extend_decision",
+            Path(__file__).parent.parent / "scripts" / "extend_decision.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.decide
+
+    def test_policy(self):
+        decide = self._decide()
+        falling = [(8000, 751.0), (9000, 601.0), (10000, 160.0)]
+        assert decide(falling, 10000, chunk=3000, cap=40000) == 13000
+        # optimum 3 evals back -> stop (post-peak constant-lr diverges)
+        past_peak = [(12000, 130.0), (13000, 119.0), (14000, 140.0),
+                     (15000, 180.0), (16000, 400.0)]
+        assert decide(past_peak, 16000, window=2) == "stop"
+        # best inside the window -> keep going
+        plateau = [(12000, 130.0), (13000, 125.0), (14000, 119.0),
+                   (15000, 121.0)]
+        assert decide(plateau, 15000, window=2, chunk=2000) == 17000
+        # hard cap wins over a falling trajectory
+        assert decide(falling, 40000, cap=40000) == "stop"
+        assert decide(falling, 39000, chunk=3000, cap=40000) == 40000
+        # too few evals to judge: extend conservatively
+        assert decide([(1000, 5000.0)], 2000, chunk=1000) == 3000
