@@ -304,34 +304,19 @@ def _run_phase(phase: str, env_extra: dict | None = None,
 def _pause_campaigns() -> list:
     """Pause any live training campaign before benching: the flagship step
     leaves <1G HBM headroom, so a concurrent bench client would
-    RESOURCE_EXHAUSTED. Touch each campaign's <log>.pause — its watchdog
-    (scripts/campaign_watchdog.sh) kills train.py, waits the pause out,
-    then relaunches with --resume. Returns pause paths for _unpause()."""
+    RESOURCE_EXHAUSTED. Delegates to __graft_entry__._pause_campaigns,
+    which keys on log freshness rather than a live train pid — a pause
+    requested during the watchdog's post-kill cooldown must still land,
+    or the relaunch races the bench onto the chip (round-5 fix). Returns
+    the pause paths for _unpause()."""
     import glob
-    paused = []
-    for pidfile in glob.glob(os.path.join(_HERE, "_local", "runs",
-                                          "*.log.pid")):
-        try:
-            pid = int(open(pidfile).read().strip())
-            os.kill(pid, 0)  # raises if the campaign already exited
-        except (ValueError, OSError):
-            continue
-        pause = pidfile[:-len(".pid")] + ".pause"
-        with open(pause, "w"):
-            pass
-        paused.append((pause, pid))
-        log(f"pausing live campaign pid {pid} ({pause})")
-    deadline = time.time() + 240  # watchdog polls every 30s, then kills
-    for pause, pid in paused:
-        while time.time() < deadline:
-            try:
-                os.kill(pid, 0)
-            except OSError:
-                break
-            time.sleep(5)
-    if paused:
-        time.sleep(15)  # let the chip server release the dead client's HBM
-    return [p for p, _ in paused]
+    sys.path.insert(0, _HERE)
+    from __graft_entry__ import _pause_campaigns as pause
+    pause(ttl_s=3600)
+    paths = glob.glob(os.path.join(_HERE, "_local", "runs", "*.log.pause"))
+    for p in paths:
+        log(f"paused campaign ({p})")
+    return paths
 
 
 def _unpause_campaigns(paths: list) -> None:
