@@ -47,12 +47,22 @@ def make_lr_schedule(base_lr: float, sched_version: str, num_epochs: int,
 def make_optimizer(lr, b1: float, b2: float, eps: float,
                    clip_norm: float | None = None,
                    amsgrad: bool = False, ada_belief: bool = False):
+    # A constant lr is wrapped as a schedule so the optax state structure
+    # (ScaleByScheduleState with a step count) is IDENTICAL for every
+    # sched_version. Otherwise init_train_state (which runs before the
+    # loader exists, steps_per_epoch unknown -> constant) builds a
+    # different tree than the train step's scheduled optimizer, and a
+    # checkpoint trained under one sched_version cannot resume under
+    # another (the flagship's post-peak CosAnnealLR leg does exactly
+    # that). Legacy EmptyState-serialized optim msgpacks are grafted by
+    # utils/checkpoint.load_checkpoint.
+    sched = lr if callable(lr) else (lambda _count, _lr=lr: _lr)
     if ada_belief:
-        opt = optax.adabelief(lr, b1=b1, b2=b2, eps=eps)
+        opt = optax.adabelief(sched, b1=b1, b2=b2, eps=eps)
     elif amsgrad:
-        opt = optax.amsgrad(lr, b1=b1, b2=b2, eps=eps)
+        opt = optax.amsgrad(sched, b1=b1, b2=b2, eps=eps)
     else:
-        opt = optax.adam(lr, b1=b1, b2=b2, eps=eps)
+        opt = optax.adam(sched, b1=b1, b2=b2, eps=eps)
     if clip_norm is not None:
         return optax.chain(optax.clip_by_global_norm(clip_norm), opt)
     return opt

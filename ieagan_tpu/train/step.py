@@ -144,6 +144,11 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0, *,
     con_reg = bool(config["Con_reg"])
     cr_lambda = float(config["cr_lambda"])
     do_diff_aug = bool(config["diff_aug"])
+    # The policy string must actually reach the augment chain — it was
+    # silently dropped until round 5 (every diff_aug_policy A/B arm
+    # trained byte-identically to its control).
+    diff_aug_policy = str(config.get("diff_aug_policy",
+                                     "color,translation,cutout"))
     # Quirk fix (default ON, like the G-step fix below): the reference
     # augments ONLY the generator output in its G_D forward — real images
     # reach D raw (reference: model.py:972-982). That hands D a trivial
@@ -174,7 +179,11 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0, *,
     pos_collected = bool(config["pos_collected_numerator"])
     replicate_g_bug = bool(config.get("replicate_G_step_bug", False))
     clip_norm = config.get("clip_norm", None)
-    temperature = 1.0  # reference: train_fns.py:46-47
+    # The reference hardcodes 1.0 (train_fns.py:46-47); the config key is
+    # this repo's documented extension (core/config.py "temperature") and
+    # must actually be read — it was dead until round 5 (the temp05 A/B
+    # arm trained byte-identically to its control).
+    temperature = float(config.get("temperature", 1.0))
     margin = 0.0
 
     _z_iter = iter(z_schedule) if z_schedule is not None else None
@@ -221,8 +230,9 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0, *,
                     fake, g_ups = g_forward(params_G, state_G, z, y, krdof)
                     fake = jax.lax.stop_gradient(fake)
                     if do_diff_aug:
-                        fake_in = diff_augment(kaug, fake)
-                        x_in = (diff_augment(jax.random.fold_in(kaug, 7), x)
+                        fake_in = diff_augment(kaug, fake, diff_aug_policy)
+                        x_in = (diff_augment(jax.random.fold_in(kaug, 7), x,
+                                             diff_aug_policy)
                                 if diff_aug_real else x)
                     else:
                         fake_in = fake
@@ -301,7 +311,7 @@ def make_train_step(G, D, config, steps_per_epoch: int = 0, *,
             def g_loss_fn(p_G, state_G, state_D):
                 fake, g_ups = g_forward(p_G, state_G, z, y, krdof)
                 if do_diff_aug:
-                    fake = diff_augment(kaug, fake)
+                    fake = diff_augment(kaug, fake, diff_aug_policy)
                 (proxy_f, embed_f, score_f), d_ups = d_forward(
                     params_D, state_D, fake, y)
                 g_loss = losses.loss_hinge_gen(score_f)

@@ -148,10 +148,47 @@ def load_checkpoint(weights_dir, train_state, name_suffix: str | None = None,
     (train_state, state_dict)."""
     weights_dir = pathlib.Path(weights_dir)
 
-    def load(base, template):
+    with open(weights_dir / f"{_join(name_suffix, 'state_dict')}.json") as fp:
+        sd = json.load(fp)
+    import jax.numpy as jnp
+
+    def load(base, template, graft_ok=False):
         path = weights_dir / f"{_join(name_suffix, base)}.msgpack"
         with open(path, "rb") as fp:
-            tree = serialization.from_bytes(template, fp.read())
+            raw = fp.read()
+        try:
+            tree = serialization.from_bytes(template, raw)
+        except (ValueError, KeyError, TypeError):
+            if not graft_ok:
+                raise
+            # Optimizer msgpacks saved before round 5 serialize the
+            # constant-lr structure (EmptyState at the lr node); the live
+            # template now always carries ScaleByScheduleState(count).
+            # Graft: take every serialized leaf that exists, keep template
+            # defaults for the rest, then seed the schedule count with the
+            # resumed itr (the reference scheduler's position after
+            # itr/steps_per_epoch epochs, train.py:244-247).
+            print(f"checkpoint '{path.name}': legacy optimizer structure; "
+                  "grafting into the scheduled-optimizer tree")
+            src = serialization.msgpack_restore(raw)
+            tpl_sd = serialization.to_state_dict(template)
+
+            def merge(t, s):
+                if isinstance(t, dict):
+                    return {k: (merge(v, s.get(k))
+                                if isinstance(s, dict) else v)
+                            for k, v in t.items()}
+                return t if s is None else s
+
+            tree = serialization.from_state_dict(template, merge(tpl_sd, src))
+            import optax
+            itr0 = jnp.asarray(sd.get("itr", 0), jnp.int32)
+            tree = jax.tree_util.tree_map(
+                lambda s: (optax.ScaleByScheduleState(count=itr0)
+                           if isinstance(s, optax.ScaleByScheduleState)
+                           else s),
+                tree,
+                is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
         if jax.process_count() == 1:
             # packed upload: resuming otherwise pays a per-leaf tunnel
             # round trip on the first train step (multi-process keeps the
@@ -169,11 +206,8 @@ def load_checkpoint(weights_dir, train_state, name_suffix: str | None = None,
         params_D=d["params"], state_D=d["state"],
         params_G_ema=gema["params"], state_G_ema=gema["state"])
     if load_optim:
-        updates["opt_G"] = load("G_optim", train_state.opt_G)
-        updates["opt_D"] = load("D_optim", train_state.opt_D)
-    with open(weights_dir / f"{_join(name_suffix, 'state_dict')}.json") as fp:
-        sd = json.load(fp)
-    import jax.numpy as jnp
+        updates["opt_G"] = load("G_optim", train_state.opt_G, graft_ok=True)
+        updates["opt_D"] = load("D_optim", train_state.opt_D, graft_ok=True)
     updates["itr"] = jnp.asarray(sd.get("itr", 0), jnp.int32)
     return train_state.replace(**updates), sd
 

@@ -51,6 +51,43 @@ def test_checkpoint_artifacts(finished_run):
     assert (root / "t1" / "samples" / "fixed_samples3.jpg").exists()
 
 
+def test_legacy_optim_checkpoint_grafts_into_scheduled_tree(finished_run):
+    """Optimizer msgpacks saved before round 5 carry the constant-lr
+    structure (EmptyState at the lr node); the uniform-schedule optimizer
+    now always has ScaleByScheduleState(count). load_checkpoint must
+    graft the legacy moments and seed count with the resumed itr — the
+    flagship's post-peak CosAnnealLR leg resumes exactly such a file."""
+    import optax
+    from flax import serialization
+    from ieagan_tpu.models import Generator, Discriminator
+    from ieagan_tpu.train import init_train_state
+    from ieagan_tpu.utils import load_checkpoint
+    root, cfg, state, state_dict = finished_run
+    weights = root / "t1" / "weights"
+
+    # overwrite the optim files with legacy (pre-round-5) structure
+    legacy_tx = optax.adam(float(cfg["G_lr"]), b1=float(cfg["G_B1"]),
+                           b2=float(cfg["G_B2"]), eps=float(cfg["adam_eps"]))
+    for base, params in [("G_optim", state.params_G),
+                         ("D_optim", state.params_D)]:
+        legacy = legacy_tx.init(jax.tree_util.tree_map(np.asarray, params))
+        assert isinstance(legacy[-1], optax.EmptyState)  # really legacy
+        (weights / f"{base}_copy3.msgpack").write_bytes(
+            serialization.to_bytes(legacy))
+
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    fresh = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+    restored, sd = load_checkpoint(weights, fresh, "copy3")
+    counts = [np.asarray(s.count)
+              for s in jax.tree_util.tree_leaves(
+                  restored.opt_G,
+                  is_leaf=lambda s: isinstance(
+                      s, optax.ScaleByScheduleState))
+              if isinstance(s, optax.ScaleByScheduleState)]
+    assert counts and all(int(c) == sd["itr"] for c in counts)
+
+
 def test_resume_restores_itr(finished_run):
     root, cfg, state, state_dict = finished_run
     from ieagan_tpu.models import Generator, Discriminator

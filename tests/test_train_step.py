@@ -106,3 +106,29 @@ def test_diff_aug_real_flag_is_live():
     off_fixed = d_real(dict(cfg, diff_aug=False, diff_aug_real=True))
     off_faithful = d_real(dict(cfg, diff_aug=False, diff_aug_real=False))
     assert off_fixed == off_faithful  # inert without diff_aug
+
+
+def test_diff_aug_policy_is_live():
+    """config["diff_aug_policy"] must reach the augment chain — it was
+    silently dropped until round 5, which made every policy A/B arm train
+    byte-identically to its control (docs/physics_ab.jsonl diffaug2x)."""
+    cfg = dict(tiny_config(), diff_aug=True)
+    G = Generator.from_config(cfg)
+    D = Discriminator.from_config(cfg)
+    state = init_train_state(G, D, cfg, jax.random.PRNGKey(0))
+    B = cfg["n_classes"] * cfg["events_per_batch"]
+    x = jax.random.uniform(
+        jax.random.PRNGKey(5),
+        (B, cfg["resolution"], cfg["resolution"] * cfg["H_base"], 1),
+        minval=-1, maxval=1)
+    y = jnp.tile(jnp.arange(cfg["n_classes"]), cfg["events_per_batch"])
+
+    def d_real(policy):
+        step = jax.jit(make_train_step(
+            G, D, dict(cfg, diff_aug_policy=policy)))
+        _, mets = step(state, x, y, jax.random.PRNGKey(7))
+        return float(mets["D_loss_real"])
+
+    default = d_real("color,translation,cutout")
+    color_only = d_real("color")
+    assert default != color_only  # policy reaches the chain
