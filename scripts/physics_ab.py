@@ -74,7 +74,6 @@ def ensure_split(split_dir: str, events: int, event_seed: int | None):
 def _acquire_chip(ttl_s: int):
     """Borrow the chip from any live campaign. Returns a release()."""
     import glob
-    import threading
 
     sys.path.insert(0, REPO)
     from __graft_entry__ import _pause_campaigns
@@ -98,22 +97,25 @@ def _acquire_chip(ttl_s: int):
             time.sleep(15)
 
     pauses = glob.glob(os.path.join(REPO, "_local", "runs", "*.log.pause"))
-    stop = threading.Event()
 
-    def keepalive():
-        # the watchdog treats a pause file whose mtime is >30 min old as
-        # leaked and resumes — refresh while the arm is still running
-        while not stop.wait(120):
-            for p in pauses:
-                try:
-                    os.utime(p)
-                except OSError:
-                    pass
-
-    threading.Thread(target=keepalive, daemon=True).start()
+    # The watchdog treats a pause file whose mtime is >30 min old as
+    # leaked and resumes — refresh while the arms are still running.
+    # A DETACHED shell loop, not an in-process thread: a Python thread
+    # can be starved past the 30-min threshold by long GIL-holding chip
+    # calls (observed round-5: a 34-min grid lost its pause at +1800s
+    # and the campaign relaunched onto the chip mid-arm). The loop exits
+    # by itself once the pause file is gone (release() or TTL janitor).
+    import shlex
+    import subprocess
+    for p in pauses:
+        q = shlex.quote(p)
+        subprocess.Popen(
+            ["sh", "-c",
+             f"while [ -f {q} ]; do touch {q}; sleep 60; done"],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
     def release():
-        stop.set()
         for p in pauses:
             try:
                 os.remove(p)
