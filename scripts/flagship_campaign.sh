@@ -28,6 +28,11 @@ set -eu
 cd "$(dirname "$0")/.."
 RUN=${1:-flagship_r3c}
 STEPS=${2:-12000}
+# Any further args are passed straight through to train.py — recipe
+# levers for a leg (e.g. --unif_lambda 0.3 --sched_version CosAnnealLR
+# from the round-5 physics A/B pick, docs/physics_ab.jsonl).
+shift $(( $# >= 2 ? 2 : $# ))
+EXTRA=("$@")
 
 # 1) dataset (idempotent: skip if the tree is already complete)
 if [ "$(ls _local/synv2/train/1.1.1 2>/dev/null | wc -l)" -lt 2000 ]; then
@@ -94,7 +99,7 @@ while true; do
       --fid_dataset_name synv2 \
       --device_transform true \
       --test_kid true --test_physics_events 1000 \
-      "${RESUME[@]}"
+      "${RESUME[@]}" ${EXTRA[@]+"${EXTRA[@]}"}
   if [ -f "_local/runs/${RUN}.log.stop" ]; then break; fi
   NEW=$(python scripts/extend_decision.py "_local/runs/${RUN}" "$STEPS") || break
   case "$NEW" in
