@@ -485,6 +485,9 @@ def run_test(G, state, state_dict, config, metrics_log):
         weights_dir = (pathlib.Path(config["outputroot"]) / config["run_name"]
                        / "weights")
         # cooperative save: every process enters (see save_and_sample)
+        if is_main:
+            print(f"rotating best{n} checkpoint (FID {fid:.2f} < "
+                  f"{state_dict['best_FID']:.2f})", flush=True)
         save_checkpoint(weights_dir, state,
                         dict(state_dict, best_FID=float(fid)), f"best{n}")
         state_dict["save_best_num"] = (n + 1) % int(

@@ -91,7 +91,12 @@ def _to_host(tree):
             chunks.append((dtype, cur))
     total_mb = sum(int(np.prod(np.shape(leaves[i]) or (1,))) * d.itemsize
                    for d, idxs in chunks for i in idxs) / (1 << 20)
-    verbose = total_mb > 64
+    # Liveness threshold must catch EVERY component of a flagship save
+    # (G params are 46MB): the post-FID best-rotation fetch re-pays packer
+    # compiles after the driver's jax.clear_caches() and ran >15 silent
+    # minutes — long enough for the campaign watchdog to churn-kill a
+    # healthy run (observed round-5, itr 11000).
+    verbose = total_mb > 16
     out: list = [None] * len(leaves)
     for n, (dtype, idxs) in enumerate(chunks):
         sig = (dtype, tuple((np.shape(leaves[i])) for i in idxs))
@@ -129,7 +134,13 @@ def save_checkpoint(weights_dir, train_state, state_dict: dict,
         "G_ema": {"params": train_state.params_G_ema,
                   "state": train_state.state_G_ema},
     }
-    host = {base: _to_host(tree) for base, tree in components.items()}
+    host = {}
+    for base, tree in components.items():
+        # One line per component: the watchdog keys on log freshness, and
+        # a full flagship save is ~240MB of chunked tunnel RPCs plus
+        # packer recompiles when the driver cleared caches for the eval.
+        print(f"checkpoint save: fetching {base}...", flush=True)
+        host[base] = _to_host(tree)
     if jax.process_index() != 0:
         return
     weights_dir.mkdir(parents=True, exist_ok=True)
