@@ -212,6 +212,15 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # eval path only (fid_subprocess=True).
     "test_kid": False,
     "test_physics_events": 0,
+    # Kill-and-skip budget for one eval subprocess run (seconds). The first
+    # eval of a session compiles the sampling + Inception + physics graphs
+    # on the tunneled chip; on a cold tunnel that exceeded 1800 s (r5: the
+    # itr-11000 eval was killed at 30 min mid-compile and the test skipped,
+    # even though the persistent cache was absorbing progress). Each killed
+    # attempt still warms .jax_cache, but a skipped eval costs a test_every
+    # window of best-rotation/trajectory data — size this above the
+    # worst-case cold compile instead.
+    "fid_subprocess_timeout": 3600.0,
     # Reference quirk: G_D augments only the generator output — reals reach
     # D raw (model.py:972-982), handing D a trivial fake tell (cutout holes
     # / translation bands exist only on fakes) that saturates D on any

@@ -518,7 +518,7 @@ def _run_fid_subprocess(state, state_dict, config):
         os.path.abspath(__file__))), "..", "scripts", "fid_eval_once.py")
     script = os.path.abspath(script)
     env = dict(os.environ)
-    timeout = float(config.get("fid_subprocess_timeout", 1800))
+    timeout = float(config.get("fid_subprocess_timeout", 3600))
     # Popen + polled communicate, NOT subprocess.run: the eval's compile is
     # many silent minutes, and an external staleness watchdog (e.g.
     # scripts/campaign_watchdog.sh) watching this process's log would kill a
