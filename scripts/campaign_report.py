@@ -28,13 +28,32 @@ def main():
     # FID trajectory (metric_log.jsonl)
     mlog = os.path.join(logs, "metric_log.jsonl")
     if os.path.exists(mlog):
-        rows = [r for r in read_jsonl(mlog) if "FID" in r]
+        mrows = list(read_jsonl(mlog))
+        rows = [r for r in mrows if "FID" in r]
         out["fid"] = [(int(r["itr"]), round(float(r["FID"]), 3))
                       for r in rows]
         if rows:
             best = min(rows, key=lambda r: r["FID"])
             out["best_fid"] = {"itr": int(best["itr"]),
                                "FID": round(float(best["FID"]), 3)}
+        # test_every companions (test_kid / test_physics_events): KID rides
+        # the FID feature pass, physics adds occupancy + mean charge over N
+        # generated events. Surfacing the trajectories here is what lets a
+        # physics-divergent recipe be caught mid-campaign instead of by the
+        # post-hoc proof suite (round-4 verdict item 9).
+        krows = [r for r in mrows if "KID" in r]
+        if krows:
+            out["kid_x1e3"] = [(int(r["itr"]), round(float(r["KID"]), 2))
+                               for r in krows]
+            floors = [float(r["KID_floor"]) for r in krows
+                      if "KID_floor" in r]
+            if floors:
+                out["kid_floor_x1e3"] = round(floors[-1], 2)
+        prows = [r for r in mrows if "phys_occupancy" in r]
+        if prows:
+            out["physics"] = [
+                (int(r["itr"]), round(float(r["phys_occupancy"]), 6),
+                 round(float(r["phys_mean_charge"]), 2)) for r in prows]
 
     metrics = read_all_metric_logs(logs)
     # step timing
