@@ -41,14 +41,17 @@ def main():
         # generated events. Surfacing the trajectories here is what lets a
         # physics-divergent recipe be caught mid-campaign instead of by the
         # post-hoc proof suite (round-4 verdict item 9).
+        # metric_log's KID/KID_floor are RAW kernel_distance values (the
+        # driver logs fid_eval_once's "kid" untouched); only kid_eval.py's
+        # proof artifact scales by 1e3.
         krows = [r for r in mrows if "KID" in r]
         if krows:
-            out["kid_x1e3"] = [(int(r["itr"]), round(float(r["KID"]), 2))
-                               for r in krows]
+            out["kid_raw"] = [(int(r["itr"]), round(float(r["KID"]), 3))
+                              for r in krows]
             floors = [float(r["KID_floor"]) for r in krows
                       if "KID_floor" in r]
             if floors:
-                out["kid_floor_x1e3"] = round(floors[-1], 2)
+                out["kid_floor_raw"] = round(floors[-1], 5)
         prows = [r for r in mrows if "phys_occupancy" in r]
         if prows:
             out["physics"] = [
