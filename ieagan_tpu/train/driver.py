@@ -138,6 +138,29 @@ def run(config: dict):
                     print(f"resetting invalid best_FID "
                           f"{state_dict['best_FID']} from checkpoint")
                 state_dict["best_FID"] = 999999.0
+            # A copy<N> written BEFORE that itr's eval carries a stale
+            # best_FID threshold; resuming from it (watchdog restart or
+            # plain --resume, not just the artifact-seeding path that
+            # scripts/flagship_campaign.sh already floors) would rotate a
+            # non-improvement into a best<N> slot, overwriting the true
+            # best in the run dir (round-4 advisor, high severity). The
+            # best tags' own state_dicts record their genuine FIDs — the
+            # rotation threshold can never be worse than their minimum.
+            best_fids = []
+            for p in weights_dir.glob("state_dict_best*.json"):
+                try:
+                    v = float(json.loads(p.read_text()).get(
+                        "best_FID", float("inf")))
+                except (ValueError, OSError):
+                    continue
+                if v > 0:
+                    best_fids.append(v)
+            if best_fids and min(best_fids) < float(state_dict["best_FID"]):
+                if is_main:
+                    print(f"best_FID threshold floored "
+                          f"{state_dict['best_FID']:.2f} -> "
+                          f"{min(best_fids):.2f} (existing best tags)")
+                state_dict["best_FID"] = min(best_fids)
 
     # Log sinks write files — process 0 only; other processes still track
     # state_dict so best/rotation bookkeeping stays consistent everywhere.

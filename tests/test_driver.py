@@ -107,6 +107,29 @@ def test_resume_restores_itr(finished_run):
         np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
 
 
+def test_resume_floors_stale_best_threshold(finished_run, capsys):
+    """A copy<N> saved BEFORE its itr's eval carries a stale best_FID;
+    resuming from it must floor the rotation threshold to the best tags'
+    recorded minimum, or the driver rotates a non-improvement over the
+    true best (round-4 advisor high-severity; hit live in round 5 when a
+    watchdog restart resumed copy14000/134.2 with best0/82.5 on disk)."""
+    root, cfg, state, state_dict = finished_run
+    import shutil
+    import tempfile
+    iso = tempfile.mkdtemp(prefix="resume_floor_")
+    shutil.copytree(root / "t1", os.path.join(iso, "t1"))
+    w = root / "t1" / "weights"  # fixture dir stays untouched
+    w = type(w)(iso) / "t1" / "weights"
+    sd = json.loads((w / "state_dict_copy3.json").read_text())
+    sd["best_FID"] = 500.0
+    (w / "state_dict_copy3.json").write_text(json.dumps(sd))
+    (w / "state_dict_best0.json").write_text(json.dumps(
+        dict(sd, itr=2, best_FID=42.0, save_best_num=0)))
+    _, sd2 = run(dict(cfg, outputroot=iso, resume=True, num_epochs=2))
+    assert sd2["best_FID"] == 42.0
+    assert "threshold floored 500.00 -> 42.00" in capsys.readouterr().out
+
+
 def test_create_gan_digits_from_driver_run_dir(finished_run, tmp_path,
                                                monkeypatch, capsys):
     """physics_analysis/create_gan_digits.py resolves the driver's TAGGED
